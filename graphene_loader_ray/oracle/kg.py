@@ -306,7 +306,12 @@ class OracleKG:
                 if region_is_new:
                     self.link(map_key, spec.REL_CONTAINS, region_key)
                 self.link(key, spec.REL_LOCATION, region_key)
-                adjacency.setdefault(region_key, {})[loc["start"]] = key
+                # per-(region, start) collisions keep the lexicographically-
+                # least gene key (deterministic replacement for the TreeMap's
+                # insertion-order overwrite, GeneLoader.groovy:97-98)
+                slot = adjacency.setdefault(region_key, {})
+                if loc["start"] not in slot or key < slot[loc["start"]]:
+                    slot[loc["start"]] = key
         # after(): FIRST_GENE / NEXT / LAST_GENE chains (GeneLoader.groovy:79-95)
         for region_key, by_start in adjacency.items():
             ordered = [by_start[s] for s in sorted(by_start)]

@@ -1,0 +1,438 @@
+"""KB build — vocabulary tables → node/edge datasets + broadcast artifacts.
+
+Ray Data expression of the reference's loaders (SURVEY.md §2.2/§2.3):
+
+  read_parquet(vocab_*) ──map_batches(parse_*)──▶ emission rows
+     kind=node|edge|ref|edge_ids|registry|surface|genepos|maptaxon
+  registry rows (vocab-scale, ≪ corpus) ──collect──▶ broadcast dict
+     (the Ray-native home of Loader.groovy:398 externalIdToNeoId /
+      ReactomeLoader.groovy:155-159 decorator caches — C3 in SURVEY §2.3)
+  ref/edge_ids rows ──map_batches(ResolveRefs, broadcast registry)──▶ edges
+     (deferred-edge semantics: misses counted + dropped, never crash —
+      Loader.groovy:414-427)
+  genepos rows ──groupby(region).map_groups(chain)──▶ FIRST/NEXT/LAST edges
+     (GeneLoader.groovy:79-95 adjacency TreeMaps become a per-region sort)
+  node rows ──groupby(label,name)──▶ deduped node table (NodeCache D1,
+     Importer.groovy:97-123, as a shuffle)
+
+Scale notes: the vocabulary is the SMALL side (reference corpus ~600k rows,
+notes.txt:1-3) — parse functions may walk Python rows per batch; the
+registries/gazetteer are built once and broadcast via ray.put to the
+corpus-side actor pools. The page corpus never flows through this module.
+
+Ordering-dependence in the reference (stage order is load-bearing,
+SURVEY.md §2.9) is replaced by commutative rules:
+  - taxon→map CONTAINS is decided by the min-_id gene per map
+    (GeneLoader.groovy:162-165 'first gene creating the map' made
+    deterministic under parallelism)
+  - per-(region,start) collisions keep the lexicographically-least gene key
+    (TreeMap last-writer-wins made deterministic)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+from ..functions.naming import strip_leading_zeros, underscore_to_camel
+from ..functions.ontology import extract_rank, parse_relationship, relationship_pattern
+from ..functions.xref import parse_xref
+from ..kb import spec
+
+EMIT_SCHEMA = pa.schema([
+    ("kind", pa.string()),
+    ("label", pa.string()), ("name", pa.string()),
+    ("extra", pa.list_(pa.string())),
+    ("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string()),
+    ("source", pa.string()), ("ext_id", pa.string()),
+    ("surface", pa.string()), ("is_primary", pa.bool_()),
+    ("rev", pa.bool_()),
+])
+
+_EMPTY = {f.name: None for f in EMIT_SCHEMA}
+
+
+class _Emitter:
+    """Accumulates emission rows inside one parse batch."""
+
+    def __init__(self) -> None:
+        self.rows: list[dict] = []
+
+    def node(self, label: str, name: str, extra: list[str] | None = None,
+             surface: bool = False) -> str:
+        key = spec.node_key(label, name)
+        self.rows.append({**_EMPTY, "kind": "node", "label": label,
+                          "name": name, "extra": extra or []})
+        if surface:
+            self.surface(name, key, True)
+        return key
+
+    def edge(self, subj: str, pred: str, obj: str) -> None:
+        self.rows.append({**_EMPTY, "kind": "edge", "subj": subj,
+                          "pred": pred, "obj": obj})
+
+    def ref(self, subj: str, pred: str, source: str, ext_id,
+            rev: bool = False) -> None:
+        """Edge whose target is an external id (deferred-rel analog, C4)."""
+        self.rows.append({**_EMPTY, "kind": "ref", "subj": subj, "pred": pred,
+                          "source": source, "ext_id": str(ext_id), "rev": rev})
+
+    def registry(self, source: str, ext_id, key: str) -> None:
+        self.rows.append({**_EMPTY, "kind": "registry", "source": source,
+                          "ext_id": str(ext_id), "subj": key})
+
+    def surface(self, surface: str, key: str, is_primary: bool) -> None:
+        self.rows.append({**_EMPTY, "kind": "surface", "surface": surface,
+                          "subj": key, "is_primary": is_primary})
+
+    def table(self) -> pa.Table:
+        if not self.rows:
+            return EMIT_SCHEMA.empty_table()
+        return pa.Table.from_pylist(self.rows, schema=EMIT_SCHEMA)
+
+
+# ----------------------------------------------------------- parse functions
+
+def parse_objects(batch: pa.Table) -> pa.Table:
+    """vocab_objects → nodes/registries (ReactomeLoader.groovy:45-66,119-173)."""
+    em = _Emitter()
+    for row in batch.to_pylist():
+        cls, ident, acc = row["_class"], row.get("identifier"), row.get("accession")
+        name = ident if (cls in spec.NAME_FROM_IDENTIFIER_CLASSES and ident) \
+            else row["_displayName"]
+        key = em.node(cls, name, extra=["Reactome"], surface=True)
+        em.registry("reactome", row["DB_ID"], key)
+        if cls in spec.IDENTIFIER_REGISTRY_CLASSES and ident:
+            em.registry(f"ident:{cls}", ident, key)
+        if cls.startswith(spec.GO_CLASS_PREFIX) and acc:
+            em.registry("go_acc", strip_leading_zeros(acc), key)
+    return em.table()
+
+
+def parse_object_edges(batch: pa.Table) -> pa.Table:
+    """vocab_edges → edge_ids rows; INPUT pre-flipped
+    (post-import-cypher.txt:4; ReactomeLoader.groovy:260-282)."""
+    em = _Emitter()
+    for row in batch.to_pylist():
+        s, o = str(row["subj_id"]), str(row["obj_id"])
+        pred = row["pred"]
+        if pred in spec.FLIPPED_PREDS:
+            s, o = o, s
+        em.rows.append({**_EMPTY, "kind": "edge_ids", "subj": s,
+                        "pred": spec.pred_name(pred), "obj": o})
+    return em.table()
+
+
+def _common_term(em: _Emitter, key: str, t: dict) -> None:
+    """Synonyms + xrefs (GrameneMongoLoader.groovy:331-375)."""
+    for s in set(t.get("synonym") or []):
+        name_key = em.node(spec.LABEL_NAME, s)
+        em.edge(key, spec.REL_SYNONYM, name_key)
+        em.surface(s, key, False)
+    for x in t.get("xref") or []:
+        parsed = parse_xref(x)
+        if parsed is None:
+            continue
+        typ, val, _desc = parsed
+        xkey = em.node(typ, val, extra=["Xref"])
+        em.edge(key, spec.REL_XREF, xkey)
+
+
+def parse_terms(batch: pa.Table) -> pa.Table:
+    """vocab_terms → emissions, dispatched on `source`
+    (OntologyLoader / NCBITaxonLoader / DomainLoader / GeneLoader)."""
+    em = _Emitter()
+    patterns = {s: relationship_pattern(s) for s in spec.ONTOLOGY_SOURCES}
+    for t in batch.to_pylist():
+        src = t["source"]
+        if src in patterns:
+            _parse_ontology_term(em, t, src, patterns[src])
+        elif src == spec.TAXONOMY_SOURCE:
+            _parse_taxon(em, t)
+        elif src == spec.DOMAINS_SOURCE:
+            _parse_domain(em, t)
+        elif src == spec.GENES_SOURCE:
+            _parse_gene(em, t)
+    return em.table()
+
+
+def _parse_ontology_term(em: _Emitter, t: dict, src: str, pat) -> None:
+    """OntologyLoader.groovy:18-114."""
+    if t["is_obsolete"]:
+        return
+    extra = [src, "Ontology"]
+    if t.get("namespace"):
+        extra.append(underscore_to_camel(t["namespace"]))
+    for sub in t.get("subset") or []:
+        extra.append(underscore_to_camel(sub))
+    key = em.node(src, t["name"], extra=extra, surface=True)
+    em.registry(src, t["_id"], key)
+    _common_term(em, key, t)
+    if src == "GO":
+        # GOLoader bridge (OntologyLoader.groovy:122-133): reactome GO_* node
+        # (cached by zero-stripped accession) -> term
+        em.ref(key, spec.REL_DATABASE_BRIDGE, "go_acc", t["_id"], rev=True)
+    for rship in t.get("relationship") or []:
+        parsed = parse_relationship(rship, pat)
+        if parsed is not None:
+            em.ref(key, parsed[0], src, parsed[1])
+    inter = t.get("intersection_of") or []
+    if inter:
+        em.ref(key, spec.REL_INTERSECTION, src, int(inter[0]))
+        if len(inter) > 1:
+            parsed = parse_relationship(inter[1], pat)
+            if parsed is not None:
+                em.ref(key, parsed[0], src, parsed[1])
+    for parent in t.get("is_a") or []:     # leftover collection → IS_A
+        em.ref(key, "IS_A", src, parent)
+
+
+def _parse_taxon(em: _Emitter, t: dict) -> None:
+    """NCBITaxonLoader.groovy:175-215."""
+    extra = ["NCBITaxonomy"]
+    rank = extract_rank(t.get("property_value"))
+    if rank:
+        extra.append(rank)
+    key = em.node(spec.LABEL_TAXON, t["name"], extra=extra, surface=True)
+    em.registry(spec.TAXONOMY_SOURCE, t["_id"], key)
+    _common_term(em, key, t)
+    is_a = t.get("is_a") or []
+    if is_a:
+        em.ref(key, spec.REL_SUPER_TAXON, spec.TAXONOMY_SOURCE, is_a[0])
+
+
+def _parse_domain(em: _Emitter, t: dict) -> None:
+    """DomainLoader.groovy:224-264."""
+    extra = []
+    for x in t.get("xref") or []:
+        parsed = parse_xref(x)
+        if parsed and parsed[0] == "type":      # NODE_PROP_KEY → extra label
+            extra.append(parsed[1])
+    key = em.node(spec.LABEL_INTERPRO, t["name"], extra=extra, surface=True)
+    em.registry(spec.DOMAINS_SOURCE, t["_id"], key)
+    for feat in t.get("protein_features") or []:
+        parsed = parse_xref(feat)
+        if parsed is None:
+            continue
+        ftype, fname, _ = parsed
+        sig_key = em.node(ftype, fname, extra=[spec.LABEL_INTERPRO_SIGNATURE])
+        em.edge(sig_key, spec.REL_CONTRIBUTES_TO, key)
+
+
+def _parse_gene(em: _Emitter, t: dict) -> None:
+    """GeneLoader.groovy:37-219."""
+    key = em.node("Gene", t["name"], surface=True)
+    if t.get("gene_id"):
+        for cls in sorted(spec.IDENTIFIER_REGISTRY_CLASSES):
+            em.ref(key, spec.REL_DATABASE_BRIDGE, f"ident:{cls}",
+                   t["gene_id"], rev=True)
+    if t.get("taxon_id") is not None:
+        em.ref(key, spec.REL_SPECIES, spec.TAXONOMY_SOURCE, t["taxon_id"])
+    for x in t.get("xref") or []:
+        parsed = parse_xref(x)
+        if parsed is None:
+            continue
+        typ, val, _ = parsed
+        if typ in spec.GENE_ONTOLOGY_XREF_KEYS:
+            em.ref(key, spec.REL_ONTOLOGY_REF, typ, int(val))
+        else:
+            xkey = em.node(typ, val, extra=["Xref"])
+            em.edge(key, spec.REL_XREF, xkey)
+    ipr = sorted(t.get("interpro") or [])
+    if ipr:
+        set_key = em.node(spec.LABEL_INTERPRO_SET, spec.interpro_set_name(ipr))
+        for ipr_id in ipr:
+            em.ref(key, spec.REL_CONTAINS, spec.DOMAINS_SOURCE, ipr_id)
+            em.ref(set_key, spec.REL_CONTAINS, spec.DOMAINS_SOURCE, ipr_id)
+        em.edge(set_key, spec.REL_CONTAINS, key)
+    loc = t.get("location")
+    if loc and loc.get("map"):
+        map_key = em.node(spec.LABEL_MAP, loc["map"])
+        region_name = spec.region_node_name(loc["map"], loc["region"])
+        region_key = em.node(spec.LABEL_REGION, region_name)
+        em.edge(map_key, spec.REL_CONTAINS, region_key)
+        em.edge(key, spec.REL_LOCATION, region_key)
+        # adjacency material: chained after a per-region shuffle
+        em.rows.append({**_EMPTY, "kind": "genepos", "subj": key,
+                        "obj": region_key, "ext_id": str(loc["start"])})
+        # taxon→map CONTAINS decided by min-_id gene per map
+        em.rows.append({**_EMPTY, "kind": "maptaxon", "subj": map_key,
+                        "source": spec.TAXONOMY_SOURCE,
+                        "ext_id": (str(t["taxon_id"])
+                                   if t.get("taxon_id") is not None else None),
+                        "name": f"{t['_id']:012d}"})
+
+
+# --------------------------------------------------------------- resolution
+
+class ResolveRefs:
+    """Actor-pool resolver: broadcast registry dict, per-batch lookups.
+    Misses become 'miss' rows (Loader.groovy:414-427 log-and-drop,
+    upgraded to queryable counters)."""
+
+    def __init__(self, registry_ref) -> None:
+        self.reg: dict[tuple[str, str], str] = ray.get(registry_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        em = _Emitter()
+        for row in batch.to_pylist():
+            kind = row["kind"]
+            if kind == "edge_ids":
+                s = self.reg.get(("reactome", row["subj"]))
+                o = self.reg.get(("reactome", row["obj"]))
+                if s is None or o is None:
+                    em.rows.append({**_EMPTY, "kind": "miss",
+                                    "pred": row["pred"], "source": "reactome"})
+                else:
+                    em.edge(s, row["pred"], o)
+            else:  # ref
+                target = self.reg.get((row["source"], row["ext_id"]))
+                if target is None:
+                    # gene-identifier bridges probe several registries and the
+                    # GO bridge probes every term; a miss is expected, not an
+                    # error (GeneLoader.groovy:101-108 `if(reactomeId)`;
+                    # OntologyLoader.groovy:126-129)
+                    silent = (row["source"].startswith("ident:")
+                              or row["source"] == "go_acc")
+                    if not silent:
+                        em.rows.append({**_EMPTY, "kind": "miss",
+                                        "pred": row["pred"],
+                                        "source": row["source"]})
+                elif row["rev"]:
+                    em.edge(target, row["pred"], row["subj"])
+                else:
+                    em.edge(row["subj"], row["pred"], target)
+        return em.table()
+
+
+def chain_genes(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-region FIRST_GENE/NEXT/LAST_GENE chains
+    (GeneLoader.groovy:79-95: TreeMap iteration becomes an in-group sort).
+    Per-start collisions keep the lexicographically-least gene key."""
+    region = group["obj"].iloc[0]
+    g = group.assign(_start=group["ext_id"].astype(int)) \
+             .sort_values(["_start", "subj"]) \
+             .drop_duplicates("_start", keep="first")
+    genes = g["subj"].tolist()
+    rows = [{"subj": region, "pred": spec.REL_FIRST_GENE, "obj": genes[0]},
+            {"subj": region, "pred": spec.REL_LAST_GENE, "obj": genes[-1]}]
+    rows += [{"subj": a, "pred": spec.REL_NEXT, "obj": b}
+             for a, b in zip(genes, genes[1:])]
+    return pd.DataFrame(rows)
+
+
+def _min_gene_maptaxon(group: pd.DataFrame) -> pd.DataFrame:
+    """taxon→map CONTAINS from the min-_id gene of each map."""
+    first = group.sort_values("name").iloc[0]
+    if first["ext_id"] is None or (isinstance(first["ext_id"], float)):
+        return pd.DataFrame({"kind": [], "subj": [], "pred": [],
+                             "source": [], "ext_id": [], "rev": []})
+    return pd.DataFrame([{"kind": "ref", "subj": first["subj"],
+                          "pred": spec.REL_CONTAINS, "source": first["source"],
+                          "ext_id": first["ext_id"], "rev": True}])
+
+
+# ------------------------------------------------------------------ assembly
+
+@dataclass
+class KB:
+    nodes: Dataset                 # (label, name, extra)
+    edges: Dataset                 # (subj, pred, obj) — deduped, pre-derive
+    registry: dict                 # (source, ext_id) -> node_key
+    gazetteer_rows: list = field(default_factory=list)  # (surface, key, is_primary)
+    counters: dict = field(default_factory=dict)
+
+
+def _kept(batch: pa.Table, kind: str, cols: list[str]) -> pa.Table:
+    import pyarrow.compute as pc
+    return batch.filter(pc.equal(batch["kind"], kind)).select(cols)
+
+
+def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
+    """vocab parquet → KB (nodes/edges datasets + broadcast artifacts)."""
+    objects = rd.read_parquet(os.path.join(fixture_dir, "vocab_objects.parquet"))
+    v_edges = rd.read_parquet(os.path.join(fixture_dir, "vocab_edges.parquet"))
+    terms = rd.read_parquet(os.path.join(fixture_dir, "vocab_terms.parquet"))
+
+    emissions = objects.map_batches(parse_objects, batch_format="pyarrow") \
+        .union(v_edges.map_batches(parse_object_edges, batch_format="pyarrow")) \
+        .union(terms.map_batches(parse_terms, batch_format="pyarrow")) \
+        .materialize()          # vocab-scale: small, reused intermediate
+
+    # registry → broadcast dict (C3: externalIdToNeoId as a ray.put artifact)
+    reg_df = emissions.map_batches(
+        lambda t: _kept(t, "registry", ["source", "ext_id", "subj"]),
+        batch_format="pyarrow").to_pandas()
+    registry = {(r.source, r.ext_id): r.subj for r in reg_df.itertuples()}
+    registry_ref = ray.put(registry)
+
+    refs = emissions.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["kind"], pa.array(["ref", "edge_ids"]))),
+        batch_format="pyarrow")
+    maptaxon_refs = emissions.map_batches(
+        lambda t: _kept(t, "maptaxon", ["subj", "name", "source", "ext_id"]),
+        batch_format="pyarrow") \
+        .groupby("subj").map_groups(_min_gene_maptaxon, batch_format="pandas") \
+        .map_batches(lambda df: pd.DataFrame({
+            **{c: df.get(c, pd.Series(dtype=object)) for c in
+               ["kind", "subj", "pred", "source", "ext_id"]},
+            "rev": df.get("rev", pd.Series(dtype=bool))}), batch_format="pandas") \
+        .map_batches(lambda df: pa.Table.from_pylist(
+            [{**_EMPTY, **r} for r in df.to_dict("records")], schema=EMIT_SCHEMA),
+            batch_format="pandas")
+
+    resolved = refs.union(maptaxon_refs).map_batches(
+        ResolveRefs, fn_constructor_args=(registry_ref,),
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    direct_edges = emissions.map_batches(
+        lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
+    resolved_edges = resolved.map_batches(
+        lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
+    chain_edges = emissions.map_batches(
+        lambda t: _kept(t, "genepos", ["subj", "obj", "ext_id"]),
+        batch_format="pyarrow") \
+        .groupby("obj").map_groups(chain_genes, batch_format="pandas")
+
+    from ..ops.aggregate import exact_dedup
+    edges = exact_dedup(
+        direct_edges.union(resolved_edges).union(chain_edges),
+        ["subj", "pred", "obj"], num_output_blocks=num_partitions).materialize()
+
+    # miss counters (quarantine-not-crash policy)
+    miss_df = resolved.map_batches(
+        lambda t: _kept(t, "miss", ["pred", "source"]), batch_format="pyarrow") \
+        .to_pandas()
+    counters = {f"dangling_edge:{r.source}:{r.pred}": 0 for r in miss_df.itertuples()}
+    for r in miss_df.itertuples():
+        counters[f"dangling_edge:{r.source}:{r.pred}"] += 1
+
+    # node dedup (D1 canonicalization shuffle) with label union (D2)
+    def merge_nodes(group: pd.DataFrame) -> pd.DataFrame:
+        extras = sorted({e for lst in group["extra"]
+                         for e in (lst if lst is not None else [])})
+        return pd.DataFrame([{"label": group["label"].iloc[0],
+                              "name": group["name"].iloc[0],
+                              "extra": extras}])
+
+    nodes = emissions.map_batches(
+        lambda t: _kept(t, "node", ["label", "name", "extra"]),
+        batch_format="pyarrow") \
+        .groupby(["label", "name"]).map_groups(merge_nodes, batch_format="pandas") \
+        .repartition(num_partitions).materialize()
+
+    gaz_df = emissions.map_batches(
+        lambda t: _kept(t, "surface", ["surface", "subj", "is_primary"]),
+        batch_format="pyarrow").to_pandas()
+    gazetteer_rows = [(r.surface, r.subj, bool(r.is_primary))
+                      for r in gaz_df.itertuples()]
+
+    return KB(nodes=nodes, edges=edges, registry=registry,
+              gazetteer_rows=gazetteer_rows, counters=counters)
