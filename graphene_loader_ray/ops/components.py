@@ -65,31 +65,39 @@ def label_propagation(pairs_ds: Dataset, max_rounds: int = 16) -> Dataset:
                                      batch["a"].combine_chunks()]),
         })
 
-    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    from .join import equi_join
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow") \
+        .repartition(8).materialize()
     # init: label(node) = node
     labels = edges.groupby("src").aggregate(Min("dst", alias_name="_drop")) \
                   .map_batches(lambda t: pa.table({
                       "node": t["src"],
-                      "label": t["src"]}), batch_format="pyarrow").materialize()
+                      "label": t["src"]}), batch_format="pyarrow") \
+                  .repartition(8).materialize()
+
+    edges_by_src = edges.map_batches(
+        lambda t: pa.table({"node": t["src"], "dst": t["dst"]}),
+        batch_format="pyarrow").materialize()
 
     for _ in range(max_rounds):
         # messages: for edge (src,dst), dst hears src's current label
-        msgs = edges.join(labels, join_type="inner", num_partitions=8,
-                          on=("src",), right_on=("node",)) \
-                    .map_batches(lambda t: pa.table({
-                        "node": t["dst"], "label": t["label"]}),
-                        batch_format="pyarrow")
+        msgs = equi_join(edges_by_src, labels, ["node"], num_partitions=8) \
+            .map_batches(lambda t: pa.table({
+                "node": t["dst"], "label": t["label"]}), batch_format="pyarrow")
         combined = msgs.union(labels)
         new_labels = combined.groupby("node") \
                              .aggregate(Min("label", alias_name="label")) \
-                             .materialize()
+                             .repartition(8).materialize()
         # convergence: any label changed?
-        changed = new_labels.join(labels, join_type="inner", num_partitions=8,
-                                  on=("node",), right_suffix="_old") \
-                            .map_batches(lambda t: t.filter(
-                                pa.compute.not_equal(t["label"], t["label_old"])),
-                                batch_format="pyarrow") \
-                            .count()
+        old = labels.map_batches(
+            lambda t: t.rename_columns(["node", "label_old"]),
+            batch_format="pyarrow")
+        changed = equi_join(new_labels, old, ["node"], num_partitions=8) \
+            .map_batches(lambda t: t.filter(
+                pa.compute.not_equal(t["label"], t["label_old"])),
+                batch_format="pyarrow") \
+            .count()
         labels = new_labels
         if changed == 0:
             break

@@ -1,0 +1,211 @@
+"""The flagship pipeline: pages + vocab → canonical KG Parquet, resumable.
+
+    vocab parquet ─┬─ build_kb ── derive ── canonicalize ──▶ kb stage
+                   └─ gazetteer + canonical map (broadcast artifacts)
+    pages parquet ── per-partition: extract → link (actor pool) →
+                     partial dedup → committed part dirs    ▶ triples stage
+    final: kb edges ∪ page triples → global dedup → sorted nodes/edges
+                                                            ▶ graph stage
+
+Each stage checkpoints through pipelines/checkpoint.py manifests; a killed
+run resumes and skips completed partitions (north rule). The page stage is
+the only corpus-scale phase: partitions are input-file groups, so at 100 TB
+a partition is a few hundred parquet files and the loop commits progress at
+that granularity while Ray Data streams within each partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..kb import spec
+from ..ops.aggregate import pre_aggregated_count
+from ..stages.canonicalize import (canonical_map, canonicalize_edges,
+                                   canonicalize_nodes)
+from ..stages.derive import derive_edges
+from ..stages.extract import extract
+from ..stages.link import kind_counts, link, triples_only
+from ..stages.vocab import build_kb
+from .checkpoint import StageManifest, fingerprint_paths
+
+_GAZ_SCHEMA = pa.schema([("surface", pa.string()), ("node_key", pa.string()),
+                         ("is_primary", pa.bool_())])
+
+
+def _vocab_paths(fixture_dir: str) -> list[str]:
+    return [os.path.join(fixture_dir, f"vocab_{n}.parquet")
+            for n in ("objects", "edges", "terms")]
+
+
+def _page_paths(fixture_dir: str) -> list[str]:
+    pages = os.path.join(fixture_dir, "pages")
+    return sorted(os.path.join(pages, f) for f in os.listdir(pages)
+                  if f.endswith(".parquet"))
+
+
+def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
+    """Build + canonicalize the KB; publish artifacts under <outdir>/kb."""
+    man = StageManifest(outdir, "kb")
+    fp = fingerprint_paths(_vocab_paths(fixture_dir))
+    pdir = man.partition_dir("all")
+    if resume and man.is_done("all", fp):
+        return {"dir": pdir, "skipped": True,
+                "counters": man.partitions["all"]["counters"]}
+
+    tmp = man.start("all")
+    kb = build_kb(fixture_dir)
+    derived, to_nodes = derive_edges(kb.edges, kb.registry)
+    from ..ops.aggregate import exact_dedup
+    all_edges = exact_dedup(kb.edges.union(derived), ["subj", "pred", "obj"],
+                            num_output_blocks=8).materialize()
+
+    canon = canonical_map(all_edges)
+    canon_ref = ray.put(canon)
+
+    all_nodes = kb.nodes.union(to_nodes)
+    canonicalize_edges(all_edges, canon_ref, num_output_blocks=8) \
+        .write_parquet(os.path.join(tmp, "edges"))
+    canonicalize_nodes(all_nodes, canon_ref) \
+        .write_parquet(os.path.join(tmp, "nodes"))
+    # normalize + dedup surfaces through Gazetteer.build so the published
+    # artifact rows are exactly what Gazetteer.from_rows expects (normalized
+    # keys, primary-beats-synonym applied)
+    from ..functions.linking import Gazetteer
+    gaz_rows = Gazetteer.build(kb.gazetteer_rows).to_rows()
+    if gaz_rows:
+        surfaces, keys, prims = zip(*gaz_rows)
+    else:
+        surfaces, keys, prims = (), (), ()
+    pq.write_table(pa.table({"surface": list(surfaces), "node_key": list(keys),
+                             "is_primary": list(prims)}, schema=_GAZ_SCHEMA),
+                   os.path.join(tmp, "gazetteer.parquet"))
+    with open(os.path.join(tmp, "canonical.json"), "w") as fh:
+        json.dump(canon, fh)
+    man.commit("all", fp, counters=kb.counters)
+    return {"dir": pdir, "skipped": False, "counters": kb.counters}
+
+
+def load_kb_artifacts(kb_dir: str):
+    """(gaz_rows_ref, canon_ref) broadcast handles from a committed kb stage."""
+    gaz_tbl = pq.read_table(os.path.join(kb_dir, "gazetteer.parquet"))
+    rows = list(zip(gaz_tbl["surface"].to_pylist(),
+                    gaz_tbl["node_key"].to_pylist(),
+                    gaz_tbl["is_primary"].to_pylist()))
+    with open(os.path.join(kb_dir, "canonical.json")) as fh:
+        canon = json.load(fh)
+    return ray.put(rows), ray.put(canon)
+
+
+def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
+                    n_partitions: int = 4, resume: bool = True,
+                    batch_size: int = 2048,
+                    concurrency=(1, 8),
+                    max_partitions: int | None = None) -> dict:
+    """Per-partition extract → link → partial dedup; commit each partition.
+
+    ``max_partitions`` stops after that many partitions have been processed
+    this call — the kill-and-resume test hook, and an operational lever for
+    incremental runs."""
+    man = StageManifest(outdir, "triples")
+    files = _page_paths(fixture_dir)
+    groups = [files[i::n_partitions] for i in range(n_partitions)]
+    groups = [g for g in groups if g]
+    gaz_ref, canon_ref = load_kb_artifacts(kb_dir)
+
+    ran, skipped = 0, 0
+    for i, group in enumerate(groups):
+        if max_partitions is not None and ran >= max_partitions:
+            break
+        pid = f"{i:05d}"
+        fp = fingerprint_paths(group)
+        if resume and man.is_done(pid, fp):
+            skipped += 1
+            continue
+        tmp = man.start(pid)
+        pages = rd.read_parquet(group)
+        # ONE streaming execution per partition: extract → link, materialized
+        # as compact triple/miss/quarantine rows (text and html never
+        # materialize); all counters and the dedup derive from this.
+        linked = link(extract(pages, batch_size=min(batch_size, 1024)),
+                      gaz_ref, canon_ref, batch_size=batch_size,
+                      concurrency=concurrency).materialize()
+        # partial (per-partition) dedup — the combiner half of the global
+        # triple dedup; supports sum up in the final stage
+        partial = pre_aggregated_count(triples_only(linked),
+                                       ["subj", "pred", "obj"],
+                                       num_output_blocks=4)
+        partial.write_parquet(os.path.join(tmp, "triples"))
+        counts = kind_counts(linked)
+        man.commit(pid, fp, counters={
+            "pages": pages.count(),      # parquet metadata, no read
+            "unlinked_mentions": int(counts.get("miss", 0)),
+            "quarantined_pages": int(counts.get("quarantined", 0))})
+        ran += 1
+    return {"ran": ran, "skipped": skipped,
+            "counters": man.counters_total(),
+            "dirs": man.completed_dirs()}
+
+
+def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
+    """Global dedup of kb edges ∪ page triples; sorted node/edge output."""
+    man = StageManifest(outdir, "graph")
+    up_kb = os.path.join(outdir, "kb", "_manifest.json")
+    up_tr = os.path.join(outdir, "triples", "_manifest.json")
+    fp = fingerprint_paths([up_kb, up_tr])
+    pdir = man.partition_dir("all")
+    if resume and man.is_done("all", fp):
+        return {"dir": pdir, "skipped": True}
+
+    tmp = man.start("all")
+    tr_man = StageManifest(outdir, "triples")
+    triple_dirs = [os.path.join(d, "triples") for d in tr_man.completed_dirs()]
+    kb_edges = rd.read_parquet(os.path.join(kb_dir, "edges")) \
+        .map_batches(lambda t: t.append_column(
+            "support", pa.array([1] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    parts = [rd.read_parquet(d) for d in triple_dirs if os.path.isdir(d)]
+    union = kb_edges
+    for p in parts:
+        union = union.union(p)
+    # sum partial supports per triple (the reduce half of the two-phase dedup)
+    from ray.data.aggregate import Sum
+    final_edges = union.groupby(["subj", "pred", "obj"]) \
+                       .aggregate(Sum("support", alias_name="support")) \
+                       .repartition(8)
+    final_edges.sort(["subj", "pred", "obj"]) \
+               .write_parquet(os.path.join(tmp, "edges"))
+    rd.read_parquet(os.path.join(kb_dir, "nodes")) \
+        .sort(["canonical_id", "label", "name"]) \
+        .write_parquet(os.path.join(tmp, "nodes"))
+    man.commit("all", fp)
+    return {"dir": pdir, "skipped": False}
+
+
+def run_kg_pipeline(fixture_dir: str, outdir: str, *,
+                    n_page_partitions: int = 4, resume: bool = True,
+                    batch_size: int = 2048, concurrency=(1, 8)) -> dict:
+    """End-to-end: kb → triples (per-partition) → graph. Returns summary."""
+    kb_res = run_kb_stage(fixture_dir, outdir, resume=resume)
+    pages_res = run_pages_stage(fixture_dir, outdir, kb_res["dir"],
+                                n_partitions=n_page_partitions, resume=resume,
+                                batch_size=batch_size, concurrency=concurrency)
+    graph_res = run_graph_stage(outdir, kb_res["dir"], resume=resume)
+
+    counters = dict(kb_res.get("counters", {}))
+    for k, v in pages_res["counters"].items():
+        counters[k] = counters.get(k, 0) + v
+    with open(os.path.join(outdir, "counters.json"), "w") as fh:
+        json.dump(counters, fh, indent=1, sort_keys=True)
+    return {"outdir": outdir, "graph_dir": graph_res["dir"],
+            "kb_skipped": kb_res["skipped"],
+            "page_partitions_ran": pages_res["ran"],
+            "page_partitions_skipped": pages_res["skipped"],
+            "graph_skipped": graph_res["skipped"],
+            "counters": counters}

@@ -1,0 +1,89 @@
+"""Canonicalization — connected components over same-as pairs, applied to
+nodes and edges (SURVEY.md §2.7 D1/D6; build plan M4).
+
+The same-as graph = DATABASE_BRIDGE edges (gene bridges
+GeneLoader.groovy:101-108, GO bridges OntologyLoader.groovy:122-133,
+name-equality bridges post-import-cypher.txt:21-23). It is vocabulary-scale
+(≪ corpus), so the default path collects the pairs and runs driver
+union-find (ops/components.py documents the distributed label-propagation
+alternative for graphs too large to collect; both produce identical
+labels — asserted in tests).
+
+canonical_id = lexicographic min of the component — the commutative,
+order-independent replacement for the reference's order-dependent upsert
+(Importer.groovy:117-123; SURVEY.md §7.4).
+
+Bridge edges are dropped from the canonical edge table (the merge subsumes
+them); everything else keeps its pred with endpoints mapped, deduplicated.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from ..kb import spec
+from ..ops.aggregate import exact_dedup
+from ..ops.components import union_find
+
+
+def bridge_pairs(edges: Dataset) -> list[tuple[str, str]]:
+    """Collect DATABASE_BRIDGE pairs (vocab-scale by construction)."""
+    pairs = []
+    for batch in edges.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        f = batch.filter(pc.equal(batch["pred"], spec.REL_DATABASE_BRIDGE))
+        pairs.extend(zip(f["subj"].to_pylist(), f["obj"].to_pylist()))
+    return pairs
+
+
+def canonical_map(edges: Dataset) -> dict[str, str]:
+    """node_key -> canonical_id for every bridged node (identity elsewhere)."""
+    return union_find(bridge_pairs(edges))
+
+
+class _MapEndpoints:
+    """Broadcast canonical dict; vectorized-dispatch per batch."""
+
+    def __init__(self, canon_ref) -> None:
+        self.canon: dict[str, str] = ray.get(canon_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.not_equal(batch["pred"], spec.REL_DATABASE_BRIDGE))
+        c = self.canon
+        subj = [c.get(k, k) for k in batch["subj"].to_pylist()]
+        obj = [c.get(k, k) for k in batch["obj"].to_pylist()]
+        return pa.table({"subj": pa.array(subj, pa.string()),
+                         "pred": batch["pred"],
+                         "obj": pa.array(obj, pa.string())})
+
+
+def canonicalize_edges(edges: Dataset, canon_ref,
+                       num_output_blocks: int = 8) -> Dataset:
+    """Map endpoints to canonical ids, drop bridges, dedup (D4)."""
+    mapped = edges.map_batches(_MapEndpoints, fn_constructor_args=(canon_ref,),
+                               batch_format="pyarrow", concurrency=(1, 4))
+    return exact_dedup(mapped, ["subj", "pred", "obj"],
+                       num_output_blocks=num_output_blocks)
+
+
+class _NodeCanon:
+    def __init__(self, canon_ref) -> None:
+        self.canon: dict[str, str] = ray.get(canon_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = [spec.node_key(l, n) for l, n in
+                zip(batch["label"].to_pylist(), batch["name"].to_pylist())]
+        canon = [self.canon.get(k, k) for k in keys]
+        return pa.table({"canonical_id": pa.array(canon, pa.string()),
+                         "label": batch["label"], "name": batch["name"]})
+
+
+def canonicalize_nodes(nodes: Dataset, canon_ref) -> Dataset:
+    """(label, name[, extra]) -> (canonical_id, label, name); one row per
+    node, merged nodes share a canonical_id."""
+    return nodes.map_batches(_NodeCanon, fn_constructor_args=(canon_ref,),
+                             batch_format="pyarrow", concurrency=(1, 4))

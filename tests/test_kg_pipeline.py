@@ -1,0 +1,122 @@
+"""End-to-end KG pipeline vs the reference-semantics oracle (SURVEY.md §5).
+
+The gate from BASELINE.json: triple P/R ≥ 0.95 vs the oracle. The engine
+and oracle are independent implementations of one pinned spec, so we assert
+exact equality (any drop below 1.0 is a semantics divergence to fix, not
+round off)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(smoke_fixture_dir, tmp_path_factory):
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    res = run_kg_pipeline(smoke_fixture_dir, out, n_page_partitions=4)
+    return res
+
+
+@pytest.fixture(scope="module")
+def oracle_result(smoke_fixture_dir):
+    from graphene_loader_ray.oracle.kg import run_oracle
+
+    return run_oracle(smoke_fixture_dir)
+
+
+def _triples(graph_dir: str) -> set[tuple[str, str, str]]:
+    t = pq.read_table(os.path.join(graph_dir, "edges"))
+    return set(zip(t["subj"].to_pylist(), t["pred"].to_pylist(),
+                   t["obj"].to_pylist()))
+
+
+def test_triples_match_oracle(pipeline_result, oracle_result):
+    eng = _triples(pipeline_result["graph_dir"])
+    gold = oracle_result["triples"]
+    tp = len(eng & gold)
+    precision = tp / max(1, len(eng))
+    recall = tp / max(1, len(gold))
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    # strict: identical sets (deterministic shared spec)
+    assert eng == gold
+
+
+def test_nodes_match_oracle(pipeline_result, oracle_result):
+    t = pq.read_table(os.path.join(pipeline_result["graph_dir"], "nodes"))
+    eng = set(zip(t["label"].to_pylist(), t["name"].to_pylist(),
+                  t["canonical_id"].to_pylist()))
+    gold = {(l, n, c) for l, n, c in oracle_result["nodes"].values()}
+    assert eng == gold
+
+
+def test_output_sorted_by_canonical_id(pipeline_result):
+    t = pq.read_table(os.path.join(pipeline_result["graph_dir"], "nodes"))
+    ids = t["canonical_id"].to_pylist()
+    assert ids == sorted(ids)
+    e = pq.read_table(os.path.join(pipeline_result["graph_dir"], "edges"))
+    key = list(zip(e["subj"].to_pylist(), e["pred"].to_pylist(),
+                   e["obj"].to_pylist()))
+    assert key == sorted(key)
+
+
+def test_counters_quarantine_policy(pipeline_result, oracle_result):
+    c = pipeline_result["counters"]
+    # malformed pages quarantined, not crashed (GrameneMongoLoader.groovy:295-305)
+    assert c["quarantined_pages"] >= 1
+    # unknown surfaces dropped + counted (Loader.groovy:414-427)
+    assert c["unlinked_mentions"] == oracle_result["counters"]["unlinked_mentions"]
+    # dangling KB refs counted per (source, pred)
+    assert any(k.startswith("dangling_edge:") for k in c)
+
+
+def test_resume_skips_everything(pipeline_result, smoke_fixture_dir):
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+
+    res2 = run_kg_pipeline(smoke_fixture_dir, pipeline_result["outdir"],
+                           n_page_partitions=4)
+    assert res2["kb_skipped"]
+    assert res2["page_partitions_ran"] == 0
+    assert res2["graph_skipped"]
+
+
+def test_kill_and_resume_equivalence(smoke_fixture_dir, tmp_path_factory,
+                                     oracle_result):
+    """A run killed after 2 of 4 page partitions resumes without recompute
+    and converges to the same graph."""
+    from graphene_loader_ray.pipelines.kg import (run_kb_stage,
+                                                  run_kg_pipeline,
+                                                  run_pages_stage)
+
+    out = str(tmp_path_factory.mktemp("kg_killed"))
+    kb = run_kb_stage(smoke_fixture_dir, out)
+    partial = run_pages_stage(smoke_fixture_dir, out, kb["dir"],
+                              n_partitions=4, max_partitions=2)
+    assert partial["ran"] == 2
+    # "restart": full pipeline over the same outdir
+    res = run_kg_pipeline(smoke_fixture_dir, out, n_page_partitions=4)
+    assert res["kb_skipped"]
+    assert res["page_partitions_skipped"] == 2
+    assert res["page_partitions_ran"] == 2
+    assert _triples(res["graph_dir"]) == oracle_result["triples"]
+
+
+def test_components_distributed_matches_union_find(smoke_fixture_dir):
+    """label_propagation (scale path) == union_find (driver path)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.components import (label_propagation,
+                                                    union_find)
+
+    pairs = [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f2"), ("e", "g"),
+             ("x", "a")]
+    want = union_find(pairs)
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    got = {r["node"]: r["canonical"]
+           for r in label_propagation(ds).take_all()}
+    assert got == want
