@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself, then:
+  - ``entry()``          smoke: flagship KG pipeline on the sf0.001-tier
+                         synthetic corpus; returns the canonical edge table
+  - ``queries()[name]``  each operator/pipeline from SURVEY.md §2 + the
+                         training-data op suite, over ``sf_dir`` tables
+  - ``oracle_sql()``     DuckDB twins (identical column names) for every
+                         SQL-expressible query; the rest are rows-only and
+                         carried by pytest vs the pure-Python oracle
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+No ray.init()/ray.shutdown() here or anywhere in the library (the caller
+owns the session).
 """
 
 from __future__ import annotations
@@ -20,25 +20,24 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline (extract → link → canonicalize → materialize) on
+    the deterministic synthetic web-page corpus; returns canonical edges."""
+    from graphene_loader_ray.context import configure
+    from graphene_loader_ray.pipelines.queries import kg_triples
+
+    configure(quiet=True)
+    return kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from graphene_loader_ray.context import configure
+    from graphene_loader_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    configure(quiet=True)
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from graphene_loader_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

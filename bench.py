@@ -1,0 +1,246 @@
+"""Benchmark harness (driver contract).
+
+Default: one JSON line
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N}
+
+Headline = the flagship KG pipeline (extract → link → canonicalize →
+materialize) over the deterministic synthetic web-page corpus sized for
+$GRAFT_SF_DIR; per-query timings cover the operator suite over the driver
+tables.
+
+--scaling: runs the corpus-proportional stage (pages: extract+link+dedup)
+twice in FRESH processes at num_cpus=8 and num_cpus=32 on the SAME input
+with a SHARED prebuilt KB, and reports throughput at both plus
+efficiency = (docs_s_32 / docs_s_8) / 4   (target ≥ 0.8; sandbox
+substitute for the N-vs-4N-node criterion — see BASELINE.md).
+
+env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# pages in the synthetic corpus per sf tier (deterministic, cached)
+PAGES_BY_SF = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
+
+QUERY_NAMES = ["q1_pricing_summary", "revenue_by_priority", "dedup_exact",
+               "dedup_minhash", "text_stats", "knn_top10",
+               "user_hourly_clicks", "user_sessions"]
+
+
+def _pool(ncpu: int) -> int:
+    return max(1, ncpu - max(1, ncpu // 8))
+
+
+def _sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR)).replace("sf", "")
+
+
+def _n_pages() -> int:
+    return PAGES_BY_SF.get(_sf_tag(), 2000)
+
+
+def _consume(res) -> int:
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        n = 0
+        for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        return n
+    if isinstance(res, (pa.Table, pd.DataFrame)):
+        return len(res)
+    return 0
+
+
+def run_default() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from graphene_loader_ray.context import configure
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+    from graphene_loader_ray.pipelines.queries import QUERIES
+    from graphene_loader_ray.sources.synth import synthesize
+
+    configure(quiet=True)
+    n_pages = _n_pages()
+    fixture = synthesize(n_pages=n_pages,
+                         n_page_files=max(8, n_pages // 5000))
+    out = f"/tmp/graphene_bench/kg_p{n_pages}_c{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+
+    t0 = time.time()
+    res = run_kg_pipeline(fixture, out, n_page_partitions=4)
+    headline = time.time() - t0
+    docs_s = n_pages / headline
+
+    timings: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": ("sec end-to-end KG pipeline "
+                   "(extract→link→canonicalize→materialize), synthetic "
+                   f"corpus of {n_pages} pages"),
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(),
+        "num_cpus": NCPU,
+        "docs_per_sec": round(docs_s, 1),
+        "counters": res["counters"],
+    }))
+    ray.shutdown()
+
+
+def run_pages_child() -> None:
+    """Scaling child: time ONLY the corpus-proportional pages stage against
+    a shared prebuilt KB; fresh ray session at RAY_GRAFT_CPUS."""
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             logging_level="ERROR")
+    from graphene_loader_ray.context import configure
+    from graphene_loader_ray.pipelines.kg import run_pages_stage
+    from graphene_loader_ray.sources.synth import synthesize
+
+    configure(quiet=True)
+    n_pages = _n_pages()
+    fixture = synthesize(n_pages=n_pages,
+                         n_page_files=max(8, n_pages // 5000))
+    kb_dir = os.environ["GRAFT_BENCH_KB_DIR"]
+    out = f"/tmp/graphene_bench/scaling_c{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    # warm the page cache so both levels measure compute, not first-read IO
+    import pyarrow.parquet as pq
+    pq.read_table(os.path.join(fixture, "pages"))
+
+    # fixed pool at NCPU minus ~1/8 headroom: a pool reserving EVERY cpu
+    # starves the read/write tasks (livelock); an autoscaling (1, N) pool
+    # ramps too slowly to use N CPUs within a short job
+    pool = _pool(NCPU)
+    repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "12"))
+    t0 = time.time()
+    run_pages_stage(fixture, out, kb_dir, n_partitions=1,
+                    concurrency=pool, batch_size=4096, repeat=repeat)
+    dt = time.time() - t0
+    n_docs = n_pages * repeat
+    print(json.dumps({"sec": round(dt, 3), "num_cpus": NCPU,
+                      "docs_per_sec": round(n_docs / dt, 1)}))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    import ray
+
+    # build the KB once (shared by both children)
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    from graphene_loader_ray.context import configure
+    from graphene_loader_ray.pipelines.kg import run_kb_stage
+    from graphene_loader_ray.sources.synth import synthesize
+
+    configure(quiet=True)
+    fixture = synthesize(n_pages=_n_pages(),
+                         n_page_files=max(8, _n_pages() // 5000))
+    kb_out = "/tmp/graphene_bench/scaling_kb"
+    os.makedirs(kb_out, exist_ok=True)
+    kb = run_kb_stage(fixture, kb_out)
+    ray.shutdown()
+
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_KB_DIR=kb["dir"],
+                   GRAFT_BENCH_MODE="pages")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = child(8), child(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    control = _mp_hardware_control(fixture, kb["dir"])
+    print(json.dumps({
+        "metric": "pages-stage scaling efficiency, num_cpus 8 vs 32",
+        "sec_8": lo["sec"], "sec_32": hi["sec"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        # plain-multiprocessing control on the identical kernel: the
+        # single-box speedup ceiling (turbo/cache effects) that a real
+        # 4x-node cluster would not share. engine efficiency relative to
+        # the hardware ceiling = scaling_efficiency / hardware ceiling.
+        "hw_control_docs_per_sec": control,
+        "hw_control_ceiling": round(
+            (control[1] / control[0]) / 4, 3) if control else None,
+        "sf": _sf_tag(), "n_pages": _n_pages(),
+    }))
+
+
+def _mp_hardware_control(fixture: str, kb_dir: str):
+    """Run the linker kernel (no Ray) under plain multiprocessing at the
+    same two pool sizes; returns (docs_per_sec_lo, docs_per_sec_hi)."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+    global _CTL_ROWS, _CTL_TEXTS
+    t = pq.read_table(os.path.join(kb_dir, "gazetteer.parquet"))
+    _CTL_ROWS = list(zip(t["surface"].to_pylist(), t["node_key"].to_pylist(),
+                         t["is_primary"].to_pylist()))
+    pages_dir = os.path.join(fixture, "pages")
+    first = sorted(os.listdir(pages_dir))[0]
+    pt = pq.read_table(os.path.join(pages_dir, first), columns=["text"])
+    _CTL_TEXTS = [x for x in pt["text"].to_pylist() if x][:4000]
+    out = []
+    for procs in (_pool(8), _pool(32)):
+        n_chunks = procs * 6
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_control_work, range(n_chunks))
+            dt = time.time() - t0
+        out.append(round(n_chunks * len(_CTL_TEXTS) / dt, 1))
+    return out
+
+
+_CTL_ROWS = None
+_CTL_TEXTS = None
+
+
+def _control_work(_i: int) -> int:
+    from graphene_loader_ray.functions.linking import (Gazetteer,
+                                                       link_paragraphs)
+    gaz = Gazetteer.from_rows(_CTL_ROWS)
+    gaz.mention_pattern()
+    n = 0
+    for text in _CTL_TEXTS:
+        link_paragraphs(text, gaz, {})
+        n += len(gaz.mention_counts(text))
+    return n
+
+
+if __name__ == "__main__":
+    if os.environ.get("GRAFT_BENCH_MODE") == "pages":
+        run_pages_child()
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_default()

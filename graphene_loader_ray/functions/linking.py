@@ -123,6 +123,35 @@ class Gazetteer:
         prior = 1.0 if best.is_primary else 0.5
         return best.node_key, prior * idf
 
+    def mention_pattern(self) -> "re.Pattern[str]":
+        """Multi-pattern scan regex over every gazetteer surface (longest
+        first so overlapping surfaces prefer the longer mention), compiled
+        once per actor/process. Input side is ``normalize_surface``d text,
+        so surfaces match case- and whitespace-insensitively."""
+        if not hasattr(self, "_mention_re"):
+            alts = sorted(self.entries, key=len, reverse=True)
+            if alts:
+                pat = r"(?<!\w)(" + "|".join(re.escape(s) for s in alts) \
+                    + r")(?!\w)"
+            else:
+                pat = r"(?!x)x"          # matches nothing
+            self._mention_re = re.compile(pat)
+        return self._mention_re
+
+    def mention_counts(self, text: str) -> dict[str, int]:
+        """All gazetteer mentions in a text (the reference's frequency-
+        analysis input, notes.txt:149-155 / SURVEY.md A4): node_key ->
+        occurrence count. Each matched surface resolves to its best
+        candidate (same deterministic rule as ``resolve``)."""
+        counts: dict[str, int] = {}
+        for m in self.mention_pattern().finditer(normalize_surface(text)):
+            cands = self.entries.get(m.group(1))
+            if not cands:
+                continue
+            nk = cands[0].node_key
+            counts[nk] = counts.get(nk, 0) + 1
+        return counts
+
     def to_rows(self) -> list[tuple[str, str, bool]]:
         """Flatten back to (norm_surface, node_key, is_primary) rows
         (the broadcastable artifact; rebuilt per actor from ray.put)."""

@@ -34,8 +34,30 @@ def pre_aggregated_count(ds: Dataset, keys: list[str],
         t = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return t.rename_columns(keys + [_PARTIAL])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # large partial batches: each batch contributes ≤ its distinct-key count
+    # of rows to the shuffle, so bigger batches = fewer shuffle rows
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
     out = partials.groupby(keys).aggregate(Sum(_PARTIAL, alias_name=count_col))
+    if num_output_blocks is not None:
+        out = out.repartition(num_output_blocks)
+    return out
+
+
+def pre_aggregated_sum(ds: Dataset, keys: list[str], value_col: str,
+                       out_col: str | None = None,
+                       num_output_blocks: int | None = None) -> Dataset:
+    """groupby(keys).sum(value_col) with the same combiner-first shape."""
+    out_col = out_col or value_col
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys + [value_col]).group_by(keys) \
+            .aggregate([(value_col, "sum")])
+        return t.rename_columns(keys + [_PARTIAL])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+    out = partials.groupby(keys).aggregate(Sum(_PARTIAL, alias_name=out_col))
     if num_output_blocks is not None:
         out = out.repartition(num_output_blocks)
     return out

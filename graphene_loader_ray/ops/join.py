@@ -15,12 +15,35 @@ into one group — pre-filter head keys or salt (ops/aggregate.py doc).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
 
 _SIDE = "__join_side"
+
+
+def as_arrow_schema(schema) -> pa.Schema:
+    """Normalize a ray.data Schema (arrow- or pandas-backed) to pyarrow.
+    Pandas-backed blocks report numpy dtypes / python classes; object
+    dtype is assumed string (all join payloads here are scalar columns)."""
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(base.names, base.types):
+        if isinstance(t, pa.DataType):
+            pt = t
+        else:
+            try:
+                dt = np.dtype(t)
+                pt = pa.string() if dt == np.dtype(object) \
+                    else pa.from_numpy_dtype(dt)
+            except TypeError:
+                pt = pa.string()
+        fields.append(pa.field(n, pt))
+    return pa.schema(fields)
 
 
 def equi_join(left: Dataset, right: Dataset, on: list[str],
@@ -32,13 +55,14 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
     keys + left payload + right payload (inner), or the left side unchanged
     (semi/anti).
 
-    ``num_partitions`` bounds the shuffle width: upstream groupbys can leave
-    hundreds of near-empty blocks, and shuffling B blocks costs O(B²) tiny
-    tasks — an explicit repartition before the groupby keeps the join
-    proportional to data, not to upstream block fragmentation. Size it to
-    ~(total rows / target block rows) at scale.
+    ``num_partitions`` is the hash-partition count (ops/partition.py): the
+    shuffle key is ``hash(on) % P`` and each partition is matched with ONE
+    vectorized pandas merge. Size P to ~(total rows / target partition
+    rows) at scale; skewed join keys spread only up to their partition —
+    salt hot keys upstream if one key dominates.
     """
-    lschema, rschema = left.schema(), right.schema()
+    lschema, rschema = as_arrow_schema(left.schema()), \
+        as_arrow_schema(right.schema())
     lcols = [c for c in lschema.names if c not in on]
     rcols = [c for c in rschema.names if c not in on]
     overlap = set(lcols) & set(rcols)
@@ -57,23 +81,25 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
         return fn
 
     tagged = left.map_batches(tag("l", rcols, rschema), batch_format="pyarrow") \
-        .union(right.map_batches(tag("r", lcols, lschema), batch_format="pyarrow")) \
-        .repartition(num_partitions)
+        .union(right.map_batches(tag("r", lcols, lschema), batch_format="pyarrow"))
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group[_SIDE] == "l"]
-        rhs = group[group[_SIDE] == "r"]
+    def match(part: pd.DataFrame) -> pd.DataFrame:
+        """One vectorized pandas merge per hash partition (NOT per key —
+        per-key UDF dispatch dominates at high key cardinality)."""
+        lhs = part[part[_SIDE] == "l"]
+        rhs = part[part[_SIDE] == "r"]
         if how == "inner":
-            if lhs.empty or rhs.empty:
-                return group.head(0).drop(columns=[_SIDE])
             out = lhs[on + lcols].merge(rhs[on + rcols], on=on, how="inner")
             return out.reindex(columns=on + lcols + rcols)
+        keys_r = rhs[on].drop_duplicates()
         if how == "left_semi":
-            keep = lhs if not rhs.empty else lhs.head(0)
-            return keep[on + lcols]
+            return lhs[on + lcols].merge(keys_r, on=on, how="inner")
         if how == "left_anti":
-            keep = lhs if rhs.empty else lhs.head(0)
-            return keep[on + lcols]
+            marked = lhs[on + lcols].merge(
+                keys_r.assign(__hit=1), on=on, how="left")
+            return marked[marked["__hit"].isna()][on + lcols]
         raise ValueError(how)
 
-    return tagged.groupby(on).map_groups(match, batch_format="pandas")
+    from .partition import group_partitioned
+    return group_partitioned(tagged, on, match,
+                             num_partitions=num_partitions)

@@ -1,0 +1,64 @@
+"""Hash-partitioned group processing — the scalable alternative to per-key
+``map_groups``.
+
+``groupby(key).map_groups(fn)`` invokes a Python UDF once per DISTINCT KEY;
+at 10^5+ keys the interpreter dispatch dominates (measured: a 15k-key join
+spent 45 s in per-group calls). The classic fix is to shuffle by
+``hash(key) % P`` and run ONE vectorized pandas call per partition — work
+scales with rows, parallelism with P, and the UDF cost is O(P).
+
+Determinism: ``pd.util.hash_pandas_object`` with the default fixed hash key
+— stable across processes and runs (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from ray.data import Dataset
+
+_PART = "__hash_part"
+
+
+def group_partitioned(ds: Dataset, keys: list[str],
+                      fn: Callable[[pd.DataFrame], pd.DataFrame],
+                      num_partitions: int = 16) -> Dataset:
+    """Apply ``fn`` once per hash partition of ``keys``. ``fn`` sees every
+    row of every key hashed into its partition (all rows of one key are in
+    exactly one partition) and returns any DataFrame."""
+
+    import pyarrow as pa
+
+    def add_part(t: pa.Table) -> pa.Table:
+        """Arrow in/out: pandas conversion of the FULL table would upcast
+        null-padded int columns to float and change their hashes; key
+        columns are null-free, so only they round-trip through pandas.
+        Numeric keys hash as float64 so int64 and float64 views of the
+        same value land in the same partition (a column can arrive as
+        either after an upstream outer-ish join)."""
+        if t.num_rows == 0:
+            return t.append_column(_PART, pa.array([], pa.uint64()))
+        key_df = pd.DataFrame()
+        for k in keys:
+            s = t[k].to_pandas()
+            if pd.api.types.is_numeric_dtype(s):
+                s = s.astype("float64")
+            key_df[k] = s
+        h = pd.util.hash_pandas_object(key_df, index=False) % num_partitions
+        return t.append_column(_PART, pa.array(h.to_numpy(), pa.uint64()))
+
+    def run(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns=[_PART]))
+
+    out = ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby(_PART).map_groups(run, batch_format="pandas")
+    # Normalize block types: Ray's sort shuffle emits empty PANDAS blocks
+    # for empty partitions and the map operator passes empty blocks through
+    # without running the UDF — leaving a pandas/arrow mix that crashes
+    # downstream sort/aggregate block builders. An explicit batch_size
+    # coalesces blocks (including empties) into batches, so the conversion
+    # actually runs and every output block is arrow.
+    return out.map_batches(lambda t: t, batch_format="pyarrow",
+                           batch_size=65536)

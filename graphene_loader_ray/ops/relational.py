@@ -1,0 +1,134 @@
+"""Relational / stream-shaped operators: broadcast join, windowed
+aggregate, sessionization, as-of join.
+
+These are the generic counterparts of the reference's lookup/ordering
+patterns (SURVEY.md §2.4 J1-J6 broadcast lookups, §2.6 O1 per-group
+ordering) applied to arbitrary tables:
+
+- ``attach_broadcast``: the small-side join — dict shipped once via
+  ``ray.put``, attached per batch; no shuffle (J1/J4 shape).
+- ``windowed_agg``: event-time tumbling windows as a derived bucket column
+  + groupby — Ray Data has no native windows (ray_guide 'Streaming-shaped
+  workloads'); the bucket column turns them into a plain shuffle.
+- ``sessionize``: per-key ordered gap detection inside ``map_groups``
+  (the O1 pattern: shuffle by key, sort within group).
+- ``asof_join``: per-key ``pd.merge_asof`` inside ``map_groups`` — sort
+  both sides within the key group; the documented partitioning assumption
+  is that a single key's rows fit one group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+
+def attach_broadcast(ds: Dataset, lookup_ref, key_col: str, out_col: str,
+                     default=None) -> Dataset:
+    """Attach ``out_col = lookup[key]`` per row; lookup is a broadcast dict."""
+
+    class Attach:
+        def __init__(self) -> None:
+            self.lookup: dict = ray.get(lookup_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = [self.lookup.get(k, default)
+                    for k in batch[key_col].to_pylist()]
+            return batch.append_column(out_col, pa.array(vals))
+
+    return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def add_time_bucket(ds: Dataset, ts_col: str, window_sec: int,
+                    out_col: str = "bucket") -> Dataset:
+    """Tumbling-window bucket = floor(epoch_seconds / window) as int64."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch[ts_col], pa.int64())     # timestamp[us] -> µs
+        bucket = pc.divide(us, 1_000_000 * window_sec)
+        return batch.append_column(out_col, pc.cast(bucket, pa.int64()))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow")
+
+
+def sessionize(ds: Dataset, key_col: str, ts_col: str, gap_sec: int,
+               order_cols: list[str] | None = None) -> Dataset:
+    """Per-key session stats: (key, n_events, n_sessions). A session break
+    is a gap > gap_sec between consecutive events (ordered by ts then
+    ``order_cols`` for determinism)."""
+    order = [key_col, ts_col] + (order_cols or [])
+
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized over all keys in the partition: shift-within-key gap
+        detection (no per-key UDF dispatch)."""
+        if part.empty:
+            return pd.DataFrame({key_col: pd.Series(dtype=part[key_col].dtype
+                                                    if key_col in part else
+                                                    "int64"),
+                                 "n_events": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64")})
+        g = part.sort_values(order)
+        secs = g[ts_col].astype("int64") // 1_000_000_000 \
+            if str(g[ts_col].dtype).endswith("[ns]") \
+            else g[ts_col].astype("int64") // 1_000_000
+        prev = secs.groupby(g[key_col]).shift()
+        new_session = prev.isna() | ((secs - prev) > gap_sec)
+        out = g.assign(__new=new_session.astype("int64")) \
+            .groupby(key_col).agg(n_events=(ts_col, "size"),
+                                  n_sessions=("__new", "sum")).reset_index()
+        return out
+
+    from .partition import group_partitioned
+    return group_partitioned(ds, [key_col], per_partition)
+
+
+def asof_join(left: Dataset, right: Dataset, key_col: str, ts_col: str,
+              right_value_cols: list[str],
+              left_cols: list[str]) -> Dataset:
+    """For each left row, attach the most recent right row with
+    right.ts <= left.ts within the same key (backward as-of)."""
+
+    _SIDE = "__asof_side"
+
+    from .join import as_arrow_schema
+    lsch, rsch = as_arrow_schema(left.schema()), as_arrow_schema(right.schema())
+
+    def tag(side, ds, keep_cols, other_cols, other_schema):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select([key_col, ts_col] + keep_cols)
+            t = t.append_column(_SIDE, pa.array([side] * t.num_rows))
+            for c in other_cols:
+                idx = other_schema.names.index(c)
+                t = t.append_column(
+                    c, pa.nulls(t.num_rows, other_schema.types[idx]))
+            return t.select([key_col, ts_col] + left_cols
+                            + right_value_cols + [_SIDE])
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    tagged = tag("l", left, left_cols, right_value_cols, rsch) \
+        .union(tag("r", right, right_value_cols, left_cols, lsch)) \
+        .repartition(16)
+
+    def match(part: pd.DataFrame) -> pd.DataFrame:
+        """One merge_asof(by=key) per hash partition — pandas handles the
+        per-key backward search natively (vectorized)."""
+        lhs = part[part[_SIDE] == "l"].sort_values(ts_col)
+        rhs = part[part[_SIDE] == "r"].sort_values(ts_col)
+        if lhs.empty:
+            return lhs[[key_col, ts_col] + left_cols + right_value_cols]
+        if rhs.empty:
+            out = lhs[[key_col, ts_col] + left_cols].copy()
+            for c in right_value_cols:
+                out[c] = None
+            return out
+        out = pd.merge_asof(lhs[[key_col, ts_col] + left_cols],
+                            rhs[[key_col, ts_col] + right_value_cols],
+                            on=ts_col, by=key_col, direction="backward")
+        return out[[key_col, ts_col] + left_cols + right_value_cols]
+
+    from .partition import group_partitioned
+    return group_partitioned(tagged, [key_col], match)

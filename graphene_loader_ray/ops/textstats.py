@@ -1,0 +1,155 @@
+"""Text analysis operators for training-data pipelines (instruction set:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All stages are actor pools (``map_batches(Cls, concurrency=...)``): regexes
+and stopword tables compile once per actor (``__init__``), the per-batch
+body is the vectorized hot path. Determinism: no randomness, no wall clock;
+fingerprints use keyed blake2b, never Python's salted ``hash()``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+# the oracle-SQL twin of TOKEN_RE is `regexp_extract_all(text, '\\w+|[^\\w\\s]')`
+TOKEN_PATTERN = r"\w+|[^\w\s]"
+WORD_PATTERN = r"\w+"
+
+# small per-language stopword tables (public, common knowledge)
+STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is was for on with as by at it from"
+                    .split()),
+    "es": frozenset("el la los las de que y en un una es por con para del"
+                    .split()),
+    "de": frozenset("der die das und von zu mit ist im den des ein eine für"
+                    .split()),
+    "fr": frozenset("le la les de des et un une est dans pour par sur au"
+                    .split()),
+}
+_CJK = re.compile(r"[一-鿿]")
+
+
+class TokenCounter:
+    """doc_id + text -> token/word/char counts + ratios (SQL-expressible;
+    the oracle twin is in __ray_entry__.oracle_sql()['text_stats'])."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        # re.ASCII: \w means [0-9A-Za-z_] exactly as in DuckDB's RE2, so the
+        # SQL oracle twin counts the same tokens on non-ASCII text
+        self.token_re = re.compile(TOKEN_PATTERN, re.ASCII)
+        self.word_re = re.compile(WORD_PATTERN, re.ASCII)
+        self.stop_en = STOPWORDS["en"]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tokens, n_words, n_stop = [], [], []
+        texts = batch[self.text_col].to_pylist()
+        for text in texts:
+            toks = self.token_re.findall(text or "")
+            words = [t for t in toks if self.word_re.match(t)]
+            n_tokens.append(len(toks))
+            n_words.append(len(words))
+            n_stop.append(sum(1 for w in words if w.lower() in self.stop_en))
+        n_chars = [len(t or "") for t in texts]
+        return pa.table({
+            "doc_id": batch[self.id_col],
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+        })
+
+
+class QualityScorer:
+    """Heuristic quality + language-ID + winnowing fingerprint (not
+    SQL-expressible — rows-only check; pinned by unit tests instead).
+
+    quality = mean of four [0,1] signals: length band, word share of
+    tokens, stopword presence, mean word length band (the
+    length/punct/stopword recipe from the task card).
+    language: CJK chars -> zh; else argmax stopword hits (ties -> 'en'
+    first, then alphabetical); no hits -> 'und'.
+    fingerprint: winnowing (Schleimer et al., SIGMOD'03) over 8-char
+    rolling blake2b hashes, window 4; emitted as the min-selected hash hex.
+    """
+
+    K_GRAM = 8
+    WINDOW = 4
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.token_re = re.compile(TOKEN_PATTERN)
+        self.word_re = re.compile(WORD_PATTERN)
+        self.text_col, self.id_col = text_col, id_col
+
+    @staticmethod
+    def _gram_hash(s: str) -> int:
+        return int.from_bytes(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+    def _fingerprint(self, text: str) -> tuple[str, int]:
+        k, w = self.K_GRAM, self.WINDOW
+        if len(text) < k:
+            return hashlib.blake2b(text.encode("utf-8"),
+                                   digest_size=8).hexdigest(), 1
+        hashes = [self._gram_hash(text[i:i + k])
+                  for i in range(len(text) - k + 1)]
+        selected: set[int] = set()
+        for i in range(max(1, len(hashes) - w + 1)):
+            selected.add(min(hashes[i:i + w]))
+        return f"{min(selected):016x}", len(selected)
+
+    def _lang(self, words_lower: list[str], text: str) -> str:
+        if _CJK.search(text):
+            return "zh"
+        scores = {lang: sum(1 for w in words_lower if w in sw)
+                  for lang, sw in STOPWORDS.items()}
+        best = max(scores.values())
+        if best == 0:
+            return "und"
+        top = sorted(l for l, s in scores.items() if s == best)
+        return "en" if "en" in top else top[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        out = {"quality": [], "lang_guess": [], "fingerprint": [],
+               "n_fingerprints": []}
+        for text in batch[self.text_col].to_pylist():
+            text = text or ""
+            toks = self.token_re.findall(text)
+            words = [t for t in toks if t[0].isalnum() or t[0] == "_"]
+            words_lower = [w.lower() for w in words]
+            n_stop = sum(1 for w in words_lower if w in STOPWORDS["en"])
+            len_band = min(1.0, len(text) / 500.0)
+            word_share = len(words) / len(toks) if toks else 0.0
+            stop_band = min(1.0, 5.0 * n_stop / len(words)) if words else 0.0
+            mwl = (sum(map(len, words)) / len(words)) if words else 0.0
+            mwl_band = 1.0 - min(1.0, abs(mwl - 5.0) / 5.0)
+            q = round((len_band + word_share + stop_band + mwl_band) / 4.0, 6)
+            fp, nfp = self._fingerprint(text)
+            out["quality"].append(q)
+            out["lang_guess"].append(self._lang(words_lower, text))
+            out["fingerprint"].append(fp)
+            out["n_fingerprints"].append(nfp)
+        return pa.table({
+            "doc_id": ids,
+            "quality": pa.array(out["quality"], pa.float64()),
+            "lang_guess": pa.array(out["lang_guess"], pa.string()),
+            "fingerprint": pa.array(out["fingerprint"], pa.string()),
+            "n_fingerprints": pa.array(out["n_fingerprints"], pa.int64()),
+        })
+
+
+def token_stats(docs: Dataset, concurrency=(1, 8)) -> Dataset:
+    return docs.map_batches(TokenCounter, batch_format="pyarrow",
+                            batch_size=2048, concurrency=concurrency)
+
+
+def quality(docs: Dataset, concurrency=(1, 8)) -> Dataset:
+    return docs.map_batches(QualityScorer, batch_format="pyarrow",
+                            batch_size=2048, concurrency=concurrency)

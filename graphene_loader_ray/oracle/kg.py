@@ -490,6 +490,7 @@ def run_oracle(fixture_dir: str) -> dict:
     pages = pq.read_table(os.path.join(fixture_dir, "pages"))
     text_hashes: dict[str, str | None] = {}
     page_triples: set[tuple[str, str, str]] = set()
+    mentions: dict[str, int] = {}
     n_miss = 0
     for row in pages.to_pylist():
         text = extract_text(row["html"])
@@ -501,6 +502,10 @@ def run_oracle(fixture_dir: str) -> dict:
         n_miss += len(misses)
         for s, p, o, _conf in triples:
             page_triples.add((s, p, o))
+        # full-text mention scan (A4 frequency analysis), canonical ids
+        for nk, n in gaz.mention_counts(text).items():
+            ck = canonical.get(nk, nk)
+            mentions[ck] = mentions.get(ck, 0) + n
     kg.counters["unlinked_mentions"] = n_miss
 
     return {
@@ -510,6 +515,7 @@ def run_oracle(fixture_dir: str) -> dict:
         "page_triples": page_triples,
         "triples": kb_triples | page_triples,
         "text_hashes": text_hashes,
+        "mentions": mentions,
         "counters": dict(kg.counters),
         "gazetteer": gaz,
     }

@@ -50,7 +50,9 @@ class StageManifest:
         return entry is not None and entry.get("fingerprint") == fingerprint
 
     def partition_dir(self, pid: str) -> str:
-        return os.path.join(self.stage_dir, f"part={pid}")
+        # 'part-' not 'part=': a key=value dir name triggers hive-partition
+        # column inference in downstream parquet reads
+        return os.path.join(self.stage_dir, f"part-{pid}")
 
     def tmp_dir(self, pid: str) -> str:
         return os.path.join(self.stage_dir, f".tmp-{pid}")

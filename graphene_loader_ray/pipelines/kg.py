@@ -26,12 +26,12 @@ import ray
 import ray.data as rd
 
 from ..kb import spec
-from ..ops.aggregate import pre_aggregated_count
+from ..ops.aggregate import pre_aggregated_count, pre_aggregated_sum
 from ..stages.canonicalize import (canonical_map, canonicalize_edges,
                                    canonicalize_nodes)
 from ..stages.derive import derive_edges
 from ..stages.extract import extract
-from ..stages.link import kind_counts, link, triples_only
+from ..stages.link import kind_counts, link, mentions_only, triples_only
 from ..stages.vocab import build_kb
 from .checkpoint import StageManifest, fingerprint_paths
 
@@ -72,7 +72,10 @@ def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
     all_nodes = kb.nodes.union(to_nodes)
     canonicalize_edges(all_edges, canon_ref, num_output_blocks=8) \
         .write_parquet(os.path.join(tmp, "edges"))
-    canonicalize_nodes(all_nodes, canon_ref) \
+    # node dedup: To nodes reify once per witness — collapse to one row
+    # per (canonical_id, label, name)
+    exact_dedup(canonicalize_nodes(all_nodes, canon_ref),
+                ["canonical_id", "label", "name"], num_output_blocks=8) \
         .write_parquet(os.path.join(tmp, "nodes"))
     # normalize + dedup surfaces through Gazetteer.build so the published
     # artifact rows are exactly what Gazetteer.from_rows expects (normalized
@@ -105,16 +108,21 @@ def load_kb_artifacts(kb_dir: str):
 
 def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
                     n_partitions: int = 4, resume: bool = True,
-                    batch_size: int = 2048,
+                    batch_size: int = 8192,
                     concurrency=(1, 8),
-                    max_partitions: int | None = None) -> dict:
+                    max_partitions: int | None = None,
+                    repeat: int = 1) -> dict:
     """Per-partition extract → link → partial dedup; commit each partition.
 
     ``max_partitions`` stops after that many partitions have been processed
     this call — the kill-and-resume test hook, and an operational lever for
-    incremental runs."""
+    incremental runs.
+
+    ``repeat`` re-reads the input file list that many times (benchmark
+    input amplification: multiplies per-row work without synthesizing a
+    bigger corpus; duplicate rows fold into the triple-dedup supports)."""
     man = StageManifest(outdir, "triples")
-    files = _page_paths(fixture_dir)
+    files = _page_paths(fixture_dir) * repeat
     groups = [files[i::n_partitions] for i in range(n_partitions)]
     groups = [g for g in groups if g]
     gaz_ref, canon_ref = load_kb_artifacts(kb_dir)
@@ -131,17 +139,23 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
         tmp = man.start(pid)
         pages = rd.read_parquet(group)
         # ONE streaming execution per partition: extract → link, materialized
-        # as compact triple/miss/quarantine rows (text and html never
-        # materialize); all counters and the dedup derive from this.
-        linked = link(extract(pages, batch_size=min(batch_size, 1024)),
+        # as compact triple/mention/miss/quarantine rows (text and html
+        # never materialize); all counters and dedups derive from this.
+        # batch_size: sized for ~KB pages; a corpus of ~100 KB documents
+        # needs a smaller value so batch × concurrency fits worker heaps.
+        linked = link(extract(pages, batch_size=batch_size),
                       gaz_ref, canon_ref, batch_size=batch_size,
                       concurrency=concurrency).materialize()
-        # partial (per-partition) dedup — the combiner half of the global
-        # triple dedup; supports sum up in the final stage
-        partial = pre_aggregated_count(triples_only(linked),
-                                       ["subj", "pred", "obj"],
-                                       num_output_blocks=4)
-        partial.write_parquet(os.path.join(tmp, "triples"))
+        # per-partition reduce of the in-actor partials — the middle level
+        # of the three-level aggregation (actor combine → partition reduce
+        # → global reduce in the graph stage); `support` sums occurrences
+        pre_aggregated_sum(triples_only(linked), ["subj", "pred", "obj"],
+                           "n", out_col="support", num_output_blocks=4) \
+            .write_parquet(os.path.join(tmp, "triples"))
+        # surface-frequency partials (A4 — head-entity/skew detection)
+        pre_aggregated_sum(mentions_only(linked), ["node_key"], "n",
+                           num_output_blocks=4) \
+            .write_parquet(os.path.join(tmp, "mentions"))
         counts = kind_counts(linked)
         man.commit(pid, fp, counters={
             "pages": pages.count(),      # parquet metadata, no read
@@ -184,6 +198,20 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
     rd.read_parquet(os.path.join(kb_dir, "nodes")) \
         .sort(["canonical_id", "label", "name"]) \
         .write_parquet(os.path.join(tmp, "nodes"))
+    # surface-frequency reduce: sum per-partition mention partials (A4);
+    # the head of this table is the salt/blacklist candidate list
+    mention_dirs = [os.path.join(d, "mentions")
+                    for d in tr_man.completed_dirs()]
+    mention_parts = [rd.read_parquet(d) for d in mention_dirs
+                     if os.path.isdir(d)]
+    if mention_parts:
+        m = mention_parts[0]
+        for p in mention_parts[1:]:
+            m = m.union(p)
+        pre_aggregated_sum(m, ["node_key"], "n", out_col="n_mentions",
+                           num_output_blocks=4) \
+            .sort(["node_key"]) \
+            .write_parquet(os.path.join(tmp, "mentions"))
     man.commit("all", fp)
     return {"dir": pdir, "skipped": False}
 

@@ -1,0 +1,415 @@
+"""Driver-contract queries: one entry per implemented operator family.
+
+Each function takes ``sf_dir`` (a /root/testdata/sf* directory) and returns
+a Dataset / DataFrame / pyarrow Table. Where ANSI SQL can express the same
+computation, ORACLE_SQL carries the DuckDB twin with IDENTICAL output
+column names (the driver hash-compares values after sorting columns by
+name). Float aggregates are rounded the same way on both sides; float
+passthroughs are left untouched (bit-exact from the same parquet).
+
+Non-SQL-expressible ops (minhash/simhash/LSH/knn/langid/fingerprint/KG
+pipeline) are registered without an oracle — the driver records a weaker
+rows-only check and pytest carries their correctness (vs the pure-Python
+oracle or brute-force references).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..ops.aggregate import pre_aggregated_count
+from ..ops.dedup import (embedding_neardup_pairs, exact_text_dedup,
+                         minhash_dedup_pairs, simhash_signatures)
+from ..ops.join import equi_join
+from ..ops.relational import (add_time_bucket, asof_join, attach_broadcast,
+                              sessionize)
+from ..ops.similarity import knn_brute, knn_lsh
+from ..ops.textstats import STOPWORDS, quality, token_stats
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, digits: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t[col], ndigits=digits))
+
+
+# --------------------------------------------------------- relational suite
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """2-decimal double -> exact integer cents (money columns in the test
+    tables are 2-decimal; integer accumulation makes aggregates
+    order-independent and hash-identical to DECIMAL SQL)."""
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str):
+    """Grouped aggregate with per-batch computed column (vectorized).
+    Money math in integer cents (1e-4 units for the discount product) so
+    the result is independent of summation order."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def exact_units(t: pa.Table) -> pa.Table:
+        qty_c = _cents(t["l_quantity"])
+        base_c = _cents(t["l_extendedprice"])
+        disc_c = _cents(t["l_discount"])          # 0..10 cents-of-1
+        disc_e4 = pc.multiply(base_c, pc.subtract(pa.scalar(100,
+                                                            pa.int64()),
+                                                  disc_c))
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty_c": qty_c, "base_c": base_c,
+                         "disc_e4": disc_e4})
+
+    out = ds.map_batches(exact_units, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("qty_c", alias_name="qty_c"),
+                   Sum("base_c", alias_name="base_c"),
+                   Sum("disc_e4", alias_name="disc_e4"),
+                   Count(alias_name="count_order"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        e4 = np.asarray(t["disc_e4"].to_pylist(), dtype=np.int64)
+        disc_cents = (e4 + 50) // 100            # round half-up, exact ints
+        qty_c = np.asarray(t["qty_c"].to_pylist(), dtype=np.int64)
+        base_c = np.asarray(t["base_c"].to_pylist(), dtype=np.int64)
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pa.array(qty_c / 100.0, pa.float64()),
+            "sum_base_price": pa.array(base_c / 100.0, pa.float64()),
+            "sum_disc_price": pa.array(disc_cents / 100.0, pa.float64()),
+            "count_order": t["count_order"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def mktsegment_order_stats(sf_dir: str):
+    """Broadcast (small-side) join: customer dim shipped once via ray.put."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_mktsegment"].to_pylist()))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "price_c": _cents(t["o_totalprice"])}), batch_format="pyarrow")
+    joined = attach_broadcast(orders, ray.put(lookup), "o_custkey",
+                              "c_mktsegment")
+    out = joined.groupby("c_mktsegment") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("price_c", alias_name="price_c"))
+    return out.map_batches(lambda t: pa.table({
+        "c_mktsegment": t["c_mktsegment"], "n_orders": t["n_orders"],
+        "sum_totalprice": pc.divide(pc.cast(t["price_c"], pa.float64()),
+                                    100.0)}), batch_format="pyarrow")
+
+
+def revenue_by_priority(sf_dir: str):
+    """Large-large shuffle join with pre-aggregation (combiner before the
+    join, SURVEY.md §4 skew guidance)."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(_cents(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(100, pa.int64()),
+                                    _cents(t["l_discount"])))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": r})
+
+    per_order = li.map_batches(rev, batch_format="pyarrow") \
+        .groupby("o_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4")) \
+        .repartition(8)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = equi_join(orders, per_order, ["o_orderkey"])
+    out = joined.groupby("o_orderpriority") \
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("rev_e4", alias_name="rev_e4"))
+    def finish(t: pa.Table) -> pa.Table:
+        e4 = np.asarray(t["rev_e4"].to_pylist(), dtype=np.int64)
+        cents = (e4 + 50) // 100                 # round half-up, exact ints
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "n_orders": t["n_orders"],
+                         "revenue": pa.array(cents / 100.0, pa.float64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def top10_orders(sf_dir: str):
+    """Global top-k: sort + limit (ties broken by key for determinism)."""
+    return _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False]) \
+        .limit(10)
+
+
+def user_hourly_clicks(sf_dir: str):
+    """Event-time tumbling window as bucket column + groupby."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"])
+    clicks = ev.map_batches(
+        lambda t: (lambda f: pa.table({
+            "user_id": f["user_id"], "ts": f["ts"],
+            "value_c": _cents(f["value"])}))(
+            t.filter(pc.equal(t["event_type"], "click"))),
+        batch_format="pyarrow")
+    out = add_time_bucket(clicks, "ts", 3600, out_col="hour_bucket") \
+        .groupby(["user_id", "hour_bucket"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+    return out.map_batches(lambda t: pa.table({
+        "user_id": t["user_id"], "hour_bucket": t["hour_bucket"],
+        "n_events": t["n_events"],
+        "sum_value": pc.divide(pc.cast(t["value_c"], pa.float64()), 100.0)}),
+        batch_format="pyarrow")
+
+
+def purchase_asof_click(sf_dir: str):
+    """Backward as-of join per user (merge_asof inside map_groups)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type", "value"])
+
+    def typed(kind, cols):
+        return ev.map_batches(
+            lambda t, k=kind, c=cols: t.filter(pc.equal(t["event_type"], k))
+                                       .select(c),
+            batch_format="pyarrow")
+
+    purchases = typed("purchase", ["user_id", "ts", "event_id"])
+    clicks = typed("click", ["user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.rename_columns(
+            ["user_id", "ts", "click_value"]), batch_format="pyarrow")
+    out = asof_join(purchases, clicks, "user_id", "ts",
+                    right_value_cols=["click_value"], left_cols=["event_id"])
+    return out.map_batches(lambda t: t.select(
+        ["event_id", "user_id", "click_value"]), batch_format="pyarrow")
+
+
+def user_sessions(sf_dir: str):
+    """Session windows (gap > 1800 s) per user."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ev, "user_id", "ts", 1800, order_cols=["event_id"])
+
+
+# ------------------------------------------------------ training-data suite
+
+def dedup_exact(sf_dir: str):
+    return exact_text_dedup(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+def text_statistics(sf_dir: str):
+    return token_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def text_quality(sf_dir: str):
+    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def dedup_minhash(sf_dir: str):
+    return minhash_dedup_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.5)
+
+
+def dedup_simhash(sf_dir: str):
+    return simhash_signatures(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]))
+
+
+def dedup_embedding(sf_dir: str):
+    # τ=0.4 / 2 planes: the test embeddings have no true near-dups (max
+    # pairwise cosine ≈ 0.51), so production-style τ≈0.95 with 8 planes
+    # returns an empty table; the looser setting exercises the same
+    # bucket/verify path with non-degenerate output
+    return embedding_neardup_pairs(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4, n_planes=2)
+
+
+def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    out = {}
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if vid < 5:
+            out[vid] = emb
+    return out
+
+
+def knn_top10(sf_dir: str):
+    return knn_brute(_read(sf_dir, "embeddings",
+                           columns=["vec_id", "embedding"]),
+                     _query_vectors(sf_dir), k=10)
+
+
+def knn_top10_lsh(sf_dir: str):
+    return knn_lsh(_read(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]),
+                   _query_vectors(sf_dir), k=10)
+
+
+# ------------------------------------------------------------- KG pipeline
+
+_SF_PAGES = {"0.001": 400, "0.01": 1000, "0.1": 4000}
+
+
+def _kg_result_dir(sf_dir: str) -> str:
+    """Run (or reuse) the KG pipeline on the deterministic synthetic corpus
+    sized for this sf tier (the driver tables carry no web pages; the
+    north-star input is synthesized per instructions)."""
+    from ..sources.synth import synthesize
+    from .kg import run_kg_pipeline
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n_pages = _SF_PAGES.get(sf, 400)
+    fixture = synthesize(n_pages=n_pages)
+    out = f"/tmp/graphene_kg_out/p{n_pages}"
+    os.makedirs(out, exist_ok=True)
+    res = run_kg_pipeline(fixture, out, n_page_partitions=4)
+    return res["graph_dir"]
+
+
+def kg_triples(sf_dir: str):
+    return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "edges"))
+
+
+def kg_nodes(sf_dir: str):
+    return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "nodes"))
+
+
+def multimodal_features(sf_dir: str):
+    """Opaque-binary decode + feature plumbing over the synthetic pages."""
+    from ..sources.synth import synthesize
+    from ..stages.multimodal import decode_payloads, extract_features
+
+    fixture = synthesize(n_pages=400)
+    pages = rd.read_parquet(os.path.join(fixture, "pages"),
+                            columns=["url", "html"])
+    return extract_features(decode_payloads(pages))
+
+
+# ------------------------------------------------------------------ wiring
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "mktsegment_order_stats": mktsegment_order_stats,
+    "revenue_by_priority": revenue_by_priority,
+    "top10_orders": top10_orders,
+    "user_hourly_clicks": user_hourly_clicks,
+    "purchase_asof_click": purchase_asof_click,
+    "user_sessions": user_sessions,
+    "dedup_exact": dedup_exact,
+    "text_stats": text_statistics,
+    "text_quality": text_quality,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding": dedup_embedding,
+    "knn_top10": knn_top10,
+    "knn_top10_lsh": knn_top10_lsh,
+    "kg_triples": kg_triples,
+    "kg_nodes": kg_nodes,
+    "multimodal_features": multimodal_features,
+}
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+
+ORACLE_SQL = {
+    # money aggregates: DECIMAL casts make the SQL sums order-independent
+    # and bit-identical to the engine's integer-cents accumulation
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "mktsegment_order_stats": """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "revenue_by_priority": """
+        WITH li AS (
+          SELECT l_orderkey AS o_orderkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               CAST(round(sum(rev), 2) AS DOUBLE) AS revenue
+        FROM orders JOIN li USING (o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "top10_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "user_hourly_clicks": """
+        SELECT user_id,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, hour_bucket
+    """,
+    "purchase_asof_click": """
+        SELECT p.event_id, p.user_id, c.value AS click_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    "user_sessions": """
+        WITH e AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                        THEN 1 ELSE 0 END) AS n_sessions
+        FROM e GROUP BY user_id
+    """,
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash,
+               min(doc_id) AS doc_id,
+               count(*)    AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "text_stats": f"""
+        SELECT doc_id,
+               length(text)                                        AS n_chars,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))     AS n_tokens,
+               len(regexp_extract_all(text, '\\w+'))               AS n_words,
+               len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                               w -> w IN ({_STOP_SQL})))           AS n_stop
+        FROM documents
+    """,
+    # text_quality, dedup_minhash, dedup_simhash, dedup_embedding, knn_*,
+    # kg_*, multimodal_features: not SQL-expressible (sketches, LSH,
+    # model-ish scoring, full KG pipeline) -> rows-only driver check;
+    # correctness carried by pytest vs oracle / brute-force references.
+}

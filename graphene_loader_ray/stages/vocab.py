@@ -312,31 +312,44 @@ class ResolveRefs:
         return em.table()
 
 
-def chain_genes(group: pd.DataFrame) -> pd.DataFrame:
-    """Per-region FIRST_GENE/NEXT/LAST_GENE chains
-    (GeneLoader.groovy:79-95: TreeMap iteration becomes an in-group sort).
-    Per-start collisions keep the lexicographically-least gene key."""
-    region = group["obj"].iloc[0]
-    g = group.assign(_start=group["ext_id"].astype(int)) \
+def chain_genes_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Per-region FIRST_GENE/NEXT/LAST_GENE chains over every region hashed
+    into this partition (GeneLoader.groovy:79-95: TreeMap iteration becomes
+    an in-group sort). Per-start collisions keep the lexicographically-least
+    gene key."""
+    rows: list[dict] = []
+    for region, g in part.groupby("obj", sort=False):
+        g = g.assign(_start=g["ext_id"].astype(int)) \
              .sort_values(["_start", "subj"]) \
              .drop_duplicates("_start", keep="first")
-    genes = g["subj"].tolist()
-    rows = [{"subj": region, "pred": spec.REL_FIRST_GENE, "obj": genes[0]},
-            {"subj": region, "pred": spec.REL_LAST_GENE, "obj": genes[-1]}]
-    rows += [{"subj": a, "pred": spec.REL_NEXT, "obj": b}
-             for a, b in zip(genes, genes[1:])]
+        genes = g["subj"].tolist()
+        rows.append({"subj": region, "pred": spec.REL_FIRST_GENE,
+                     "obj": genes[0]})
+        rows.append({"subj": region, "pred": spec.REL_LAST_GENE,
+                     "obj": genes[-1]})
+        rows += [{"subj": a, "pred": spec.REL_NEXT, "obj": b}
+                 for a, b in zip(genes, genes[1:])]
+    if not rows:
+        return pd.DataFrame({"subj": pd.Series(dtype=object),
+                             "pred": pd.Series(dtype=object),
+                             "obj": pd.Series(dtype=object)})
     return pd.DataFrame(rows)
 
 
-def _min_gene_maptaxon(group: pd.DataFrame) -> pd.DataFrame:
+def _min_gene_maptaxon_part(part: pd.DataFrame) -> pd.DataFrame:
     """taxon→map CONTAINS from the min-_id gene of each map."""
-    first = group.sort_values("name").iloc[0]
-    if first["ext_id"] is None or (isinstance(first["ext_id"], float)):
-        return pd.DataFrame({"kind": [], "subj": [], "pred": [],
-                             "source": [], "ext_id": [], "rev": []})
-    return pd.DataFrame([{"kind": "ref", "subj": first["subj"],
-                          "pred": spec.REL_CONTAINS, "source": first["source"],
-                          "ext_id": first["ext_id"], "rev": True}])
+    rows: list[dict] = []
+    for _, g in part.groupby("subj", sort=False):
+        first = g.sort_values("name").iloc[0]
+        if first["ext_id"] is None or isinstance(first["ext_id"], float):
+            continue
+        rows.append({"kind": "ref", "subj": first["subj"],
+                     "pred": spec.REL_CONTAINS, "source": first["source"],
+                     "ext_id": first["ext_id"], "rev": True})
+    cols = ["kind", "subj", "pred", "source", "ext_id", "rev"]
+    if not rows:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
+    return pd.DataFrame(rows, columns=cols)
 
 
 # ------------------------------------------------------------------ assembly
@@ -376,30 +389,32 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     refs = emissions.map_batches(
         lambda t: t.filter(pa.compute.is_in(t["kind"], pa.array(["ref", "edge_ids"]))),
         batch_format="pyarrow")
-    maptaxon_refs = emissions.map_batches(
-        lambda t: _kept(t, "maptaxon", ["subj", "name", "source", "ext_id"]),
-        batch_format="pyarrow") \
-        .groupby("subj").map_groups(_min_gene_maptaxon, batch_format="pandas") \
-        .map_batches(lambda df: pd.DataFrame({
-            **{c: df.get(c, pd.Series(dtype=object)) for c in
-               ["kind", "subj", "pred", "source", "ext_id"]},
-            "rev": df.get("rev", pd.Series(dtype=bool))}), batch_format="pandas") \
+    from ..ops.partition import group_partitioned
+    maptaxon_refs = group_partitioned(
+        emissions.map_batches(
+            lambda t: _kept(t, "maptaxon",
+                            ["subj", "name", "source", "ext_id"]),
+            batch_format="pyarrow"),
+        ["subj"], _min_gene_maptaxon_part, num_partitions=4) \
         .map_batches(lambda df: pa.Table.from_pylist(
-            [{**_EMPTY, **r} for r in df.to_dict("records")], schema=EMIT_SCHEMA),
-            batch_format="pandas")
+            [{**_EMPTY, **r} for r in df.to_dict("records")],
+            schema=EMIT_SCHEMA), batch_format="pandas")
 
+    # materialized: consumed twice (edge union + miss counters) — without
+    # this the resolver actor pool would spin up and re-resolve per consumer
     resolved = refs.union(maptaxon_refs).map_batches(
         ResolveRefs, fn_constructor_args=(registry_ref,),
-        batch_format="pyarrow", concurrency=(1, 4))
+        batch_format="pyarrow", concurrency=(1, 4)).materialize()
 
     direct_edges = emissions.map_batches(
         lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
     resolved_edges = resolved.map_batches(
         lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
-    chain_edges = emissions.map_batches(
-        lambda t: _kept(t, "genepos", ["subj", "obj", "ext_id"]),
-        batch_format="pyarrow") \
-        .groupby("obj").map_groups(chain_genes, batch_format="pandas")
+    chain_edges = group_partitioned(
+        emissions.map_batches(
+            lambda t: _kept(t, "genepos", ["subj", "obj", "ext_id"]),
+            batch_format="pyarrow"),
+        ["obj"], chain_genes_part, num_partitions=num_partitions)
 
     from ..ops.aggregate import exact_dedup
     edges = exact_dedup(
@@ -414,19 +429,27 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     for r in miss_df.itertuples():
         counters[f"dangling_edge:{r.source}:{r.pred}"] += 1
 
-    # node dedup (D1 canonicalization shuffle) with label union (D2)
-    def merge_nodes(group: pd.DataFrame) -> pd.DataFrame:
-        extras = sorted({e for lst in group["extra"]
-                         for e in (lst if lst is not None else [])})
-        return pd.DataFrame([{"label": group["label"].iloc[0],
-                              "name": group["name"].iloc[0],
-                              "extra": extras}])
+    # node dedup (D1 canonicalization shuffle) with label union (D2);
+    # hash-partitioned (one pandas call per partition — the reference
+    # vocabulary is ~600k nodes, far too many for per-key UDF dispatch)
+    def merge_nodes_part(part: pd.DataFrame) -> pd.DataFrame:
+        def union_extras(series) -> list[str]:
+            return sorted({e for lst in series
+                           for e in (lst if lst is not None else [])})
+        if part.empty:
+            return pd.DataFrame({"label": pd.Series(dtype=object),
+                                 "name": pd.Series(dtype=object),
+                                 "extra": pd.Series(dtype=object)})
+        return part.groupby(["label", "name"], sort=False)["extra"] \
+            .agg(union_extras).reset_index()
 
-    nodes = emissions.map_batches(
-        lambda t: _kept(t, "node", ["label", "name", "extra"]),
-        batch_format="pyarrow") \
-        .groupby(["label", "name"]).map_groups(merge_nodes, batch_format="pandas") \
-        .repartition(num_partitions).materialize()
+    from ..ops.partition import group_partitioned
+    nodes = group_partitioned(
+        emissions.map_batches(
+            lambda t: _kept(t, "node", ["label", "name", "extra"]),
+            batch_format="pyarrow"),
+        ["label", "name"], merge_nodes_part,
+        num_partitions=num_partitions).materialize()
 
     gaz_df = emissions.map_batches(
         lambda t: _kept(t, "surface", ["surface", "subj", "is_primary"]),

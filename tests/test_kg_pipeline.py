@@ -75,6 +75,18 @@ def test_counters_quarantine_policy(pipeline_result, oracle_result):
     assert any(k.startswith("dangling_edge:") for k in c)
 
 
+def test_mention_counts_match_oracle(pipeline_result, oracle_result):
+    """Surface-frequency table (A4 head-entity/skew input) matches the
+    oracle's single-process scan, and head entities dominate it."""
+    t = pq.read_table(os.path.join(pipeline_result["graph_dir"], "mentions"))
+    eng = dict(zip(t["node_key"].to_pylist(), t["n_mentions"].to_pylist()))
+    assert eng == oracle_result["mentions"]
+    # the fixture plants Zipf-skewed head entities (H2O/ATP analogs):
+    # at least one should sit in the global top 5
+    top = sorted(eng, key=lambda k: -eng[k])[:5]
+    assert any("[cytosol]" in k for k in top)
+
+
 def test_resume_skips_everything(pipeline_result, smoke_fixture_dir):
     from graphene_loader_ray.pipelines.kg import run_kg_pipeline
 

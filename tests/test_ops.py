@@ -1,0 +1,237 @@
+"""General-operator tests: dedup family, similarity search, text stats,
+relational/stream ops (vs DuckDB oracles), multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_ds():
+    """Synthetic docs with planted exact + near duplicates."""
+    import ray.data as rd
+
+    base = ("the quick brown fox jumps over the lazy dog while the rain "
+            "falls gently on the quiet green meadow beside the old mill")
+    near = base.replace("gently", "softly")          # high jaccard
+    other = ("completely different content about distributed dataflow "
+             "engines shuffling arrow record batches across worker nodes")
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                 # exact dup of 0
+        {"doc_id": 2, "text": near},                 # near dup of 0
+        {"doc_id": 3, "text": other},
+        {"doc_id": 4, "text": other + " with a tail"},
+        {"doc_id": 5, "text": "short unrelated text"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_text_dedup(doc_ds):
+    from graphene_loader_ray.ops.dedup import exact_text_dedup
+
+    out = exact_text_dedup(doc_ds).to_pandas()
+    assert len(out) == 5                      # 6 docs, one exact dup
+    dup = out[out["n_dups"] == 2]
+    assert len(dup) == 1 and dup["doc_id"].iloc[0] == 0   # min id kept
+
+
+def test_minhash_neardup(doc_ds):
+    from graphene_loader_ray.ops.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(doc_ds, threshold=0.5).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got                      # exact dup (jaccard 1.0)
+    assert (0, 2) in got and (1, 2) in got    # near dup
+    assert (3, 4) in got                      # containment-style near dup
+    assert not any({a, b} == {0, 3} for a, b in got)
+    jac = dict(zip(zip(pairs["a"], pairs["b"]), pairs["jaccard"]))
+    assert jac[(0, 1)] == 1.0
+    assert 0.5 <= jac[(0, 2)] < 1.0
+
+
+def test_simhash_neardup(doc_ds):
+    from graphene_loader_ray.ops.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(doc_ds, max_hamming=6).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(pairs["a"], pairs["b"], pairs["hamming"])}
+    assert got.get((0, 1)) == 0               # identical text
+    assert (0, 2) in got                      # one-word change: small dist
+    assert (0, 3) not in got
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 32))
+    vecs = list(base)
+    vecs.append(base[0] + 0.01 * rng.standard_normal(32))   # near-dup of 0
+    vecs.append(base[5])                                     # exact dup of 5
+    ds = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    out = embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(out["a"], out["b"])}
+    assert (0, 20) in got and (5, 21) in got
+    assert all(a in (0, 5) and b in (20, 21) for a, b in got)
+
+
+def test_knn_brute_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.similarity import knn_brute
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(200)])
+    queries = {0: vecs[0].tolist(), 7: vecs[7].tolist()}
+    out = knn_brute(ds, queries, k=5).to_pandas()
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in queries:
+        sims = unit @ unit[qid]
+        order = sorted(range(200), key=lambda i: (-round(sims[i], 6), i))[:5]
+        got = out[out["query_id"] == qid].sort_values(
+            ["score", "vec_id"], ascending=[False, True])["vec_id"].tolist()
+        assert got == order
+
+
+def test_knn_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.similarity import knn_brute, knn_lsh
+
+    # clustered vectors — the regime ANN is for (uniform random vectors
+    # have no meaningful neighbors and defeat any LSH)
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((10, 16)) * 3
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((30, 16))
+                           for c in centers])
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(len(vecs))])
+    queries = {0: vecs[0].tolist(), 40: vecs[40].tolist(),
+               80: vecs[80].tolist()}
+    brute = knn_brute(ds, queries, k=10).to_pandas()
+    approx = knn_lsh(ds, queries, k=10, n_planes=6).to_pandas()
+    recalls = []
+    for qid in queries:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.6   # approximate, but useful
+
+
+def test_text_stats_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.textstats import STOPWORDS, token_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = token_stats(rd.read_parquet(f"{sf}/documents.parquet",
+                                      columns=["doc_id", "text"])) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    stop_sql = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+    gold = duckdb.sql(f"""
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
+               len(regexp_extract_all(text, '\\w+')) AS n_words,
+               len(list_filter(regexp_extract_all(lower(text), '\\w+'),
+                               w -> w IN ({stop_sql}))) AS n_stop
+        FROM '{sf}/documents.parquet' ORDER BY doc_id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_dtype=False)
+
+
+def test_quality_and_langid(doc_ds):
+    from graphene_loader_ray.ops.textstats import quality
+
+    out = quality(doc_ds).to_pandas()
+    assert (out["quality"] > 0).all() and (out["quality"] <= 1).all()
+    guesses = dict(zip(out["doc_id"], out["lang_guess"]))
+    assert guesses[0] == guesses[1] == guesses[2] == "en"  # stopword-bearing
+    assert guesses[5] == "und"                 # no function words → unknown
+    assert out["fingerprint"].notna().all()
+    # fingerprints deterministic: identical docs share them
+    by_id = dict(zip(out["doc_id"], out["fingerprint"]))
+    assert by_id[0] == by_id[1]
+
+
+def test_sessionize_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.relational import sessionize
+
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    out = sessionize(ev, "user_id", "ts", 1800, order_cols=["event_id"]) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    gold = duckdb.sql(f"""
+        WITH e AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM '{sf}/events.parquet')
+        SELECT user_id, count(*) AS n_events,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR epoch(ts) - epoch(prev_ts) > 1800
+                        THEN 1 ELSE 0 END) AS n_sessions
+        FROM e GROUP BY user_id ORDER BY user_id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_dtype=False)
+
+
+def test_asof_join_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.pipelines.queries import purchase_asof_click
+
+    sf = "/root/testdata/sf0.001"
+    out = purchase_asof_click(sf).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    gold = duckdb.sql(f"""
+        SELECT p.event_id, p.user_id, c.value AS click_value
+        FROM (SELECT * FROM '{sf}/events.parquet'
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM '{sf}/events.parquet'
+                        WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        ORDER BY p.event_id
+    """).fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_dtype=False)
+
+
+def test_multimodal_stub(smoke_fixture_dir):
+    import ray.data as rd
+
+    from graphene_loader_ray.stages.multimodal import (FEATURE_DIM,
+                                                       decode_payloads,
+                                                       extract_features)
+
+    pages = rd.read_parquet(smoke_fixture_dir + "/pages",
+                            columns=["url", "html"])
+    out = extract_features(decode_payloads(pages)).to_pandas()
+    assert len(out) == pages.count()
+    assert out["ok"].all()                       # html payloads all non-empty
+    assert (out["width"] >= 64).all() and (out["width"] < 256).all()
+    assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    # deterministic: re-run produces identical features
+    out2 = extract_features(decode_payloads(pages)).to_pandas()
+    a = out.sort_values("url").reset_index(drop=True)
+    b = out2.sort_values("url").reset_index(drop=True)
+    assert (a["payload_sha256"] == b["payload_sha256"]).all()
+
+    # empty payload -> quarantined row, not a crash
+    empty = rd.from_items([{"url": "u0", "html": b""}])
+    q = decode_payloads(empty).to_pandas()
+    assert not q["ok"].iloc[0]
