@@ -176,7 +176,16 @@ def run_scaling() -> None:
                                  os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = child(8), child(32)
+    # interleaved repeats, best-per-level: single-box wall times drift
+    # several 10% run-to-run (thermal / noisy neighbors); interleaving
+    # cancels drift and min() estimates the contention-free time
+    runs = int(os.environ.get("GRAFT_BENCH_SCALING_RUNS", "2"))
+    los, his = [], []
+    for _ in range(runs):
+        los.append(child(8))
+        his.append(child(32))
+    lo = min(los, key=lambda r: r["sec"])
+    hi = min(his, key=lambda r: r["sec"])
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
     control = _mp_hardware_control(fixture, kb["dir"])
     print(json.dumps({

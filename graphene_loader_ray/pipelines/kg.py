@@ -137,7 +137,10 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
             skipped += 1
             continue
         tmp = man.start(pid)
-        pages = rd.read_parquet(group)
+        # prune at the read: the generator's pre-extracted `text` column is
+        # test-only — the engine derives text from html itself
+        pages = rd.read_parquet(group,
+                                columns=["url", "warc_ts", "html", "lang"])
         # ONE streaming execution per partition: extract → link, materialized
         # as compact triple/mention/miss/quarantine rows (text and html
         # never materialize); all counters and dedups derive from this.
