@@ -63,6 +63,54 @@ def pre_aggregated_sum(ds: Dataset, keys: list[str], value_col: str,
     return out
 
 
+def salted_group_apply(ds: Dataset, keys: list[str],
+                       partial_fn, combine_fn,
+                       n_salts: int = 16,
+                       num_partitions: int = 16) -> Dataset:
+    """Two-phase grouped apply with SALTED keys — the skew-mitigation shape
+    for head keys (post-import-cypher.txt:6's common metabolites appear in
+    ≥10% of pages; a bare groupby sends every such row to one reducer).
+
+    phase 1: group by ``keys + [salt]`` (salt = row position % n_salts,
+             deterministic) and reduce each salted sub-group with
+             ``partial_fn(df) -> one-row df`` — a hot key's rows split
+             across n_salts groups, each bounded
+    phase 2: group the n_salts partials by ``keys`` and merge with
+             ``combine_fn(df) -> one-row df``
+
+    For algebraic aggregates (sum/count/min/max) prefer
+    ``pre_aggregated_*`` — the in-batch combiner subsumes salting. Use
+    this when the per-group reduction is non-algebraic or per-group state
+    is large (e.g. heavy sketches, per-key sorts)."""
+    import numpy as np
+
+    from .partition import group_partitioned
+
+    _SALT = "__salt"
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            _SALT, pa.array(np.arange(batch.num_rows) % n_salts, pa.int32()))
+
+    def phase1(part):
+        import pandas as pd
+        out = [partial_fn(g.drop(columns=[_SALT]))
+               for _, g in part.groupby(keys + [_SALT], sort=False)]
+        return pd.concat(out, ignore_index=True) if out else \
+            partial_fn(part.drop(columns=[_SALT]).head(0))
+
+    def phase2(part):
+        import pandas as pd
+        out = [combine_fn(g) for _, g in part.groupby(keys, sort=False)]
+        return pd.concat(out, ignore_index=True) if out else part.head(0)
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = group_partitioned(salted, keys + [_SALT], phase1,
+                                 num_partitions=num_partitions)
+    return group_partitioned(partials, keys, phase2,
+                             num_partitions=num_partitions)
+
+
 def exact_dedup(ds: Dataset, keys: list[str],
                 num_output_blocks: int | None = None) -> Dataset:
     """One row per distinct ``keys`` tuple (columns = ``keys``), via the same

@@ -292,6 +292,12 @@ def kg_nodes(sf_dir: str):
     return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "nodes"))
 
 
+def kg_mentions(sf_dir: str):
+    """Surface-frequency table (A4) — the head of this table is the
+    head-entity (skew/blacklist) candidate list."""
+    return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "mentions"))
+
+
 def multimodal_features(sf_dir: str):
     """Opaque-binary decode + feature plumbing over the synthetic pages."""
     from ..sources.synth import synthesize
@@ -323,6 +329,7 @@ QUERIES = {
     "knn_top10_lsh": knn_top10_lsh,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
+    "kg_mentions": kg_mentions,
     "multimodal_features": multimodal_features,
 }
 

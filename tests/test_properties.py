@@ -1,0 +1,84 @@
+"""Property tests (SURVEY.md §5e): canonicalization must be commutative /
+order-independent — the deliberate fix for the reference's order-dependent
+upsert (Importer.groovy:117-123) — and the linking grammar deterministic."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from graphene_loader_ray.functions.linking import Gazetteer, parse_sentence
+from graphene_loader_ray.ops.components import union_find
+
+ids = st.integers(min_value=0, max_value=30).map(lambda i: f"n{i}")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(ids, ids), max_size=40), st.randoms())
+def test_union_find_order_independent(pairs, rnd):
+    a = union_find(pairs)
+    shuffled = list(pairs)
+    rnd.shuffle(shuffled)
+    b = union_find(shuffled)
+    assert a == b
+    # canonical = min of component, and symmetric pairs merge
+    for x, y in pairs:
+        assert a[x] == a[y]
+        assert a[x] <= x and a[x] <= y
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(
+    st.tuples(st.text(alphabet="abc XYZ", min_size=1, max_size=8),
+              ids, st.booleans()),
+    max_size=30), st.randoms())
+def test_gazetteer_build_order_independent(rows, rnd):
+    g1 = Gazetteer.build(rows)
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+    g2 = Gazetteer.build(shuffled)
+    surfaces = {s for s, _, _ in rows}
+    for s in surfaces:
+        assert g1.resolve(s) == g2.resolve(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdef .!of\n", max_size=60))
+def test_parse_sentence_total(text):
+    # never raises; a match always re-serializes to the original paragraph
+    out = parse_sentence(text)
+    if out is not None:
+        s, phrase, o = out
+        assert f"{s} {phrase} {o}." == text
+
+
+def test_salted_group_apply_matches_direct(ray_session):
+    """Zipf-skewed keys: salted two-phase == direct pandas groupby."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.aggregate import salted_group_apply
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, size=4000) % 7          # heavy head key
+    vals = rng.integers(0, 100, size=4000)
+    df = pd.DataFrame({"k": [f"k{k}" for k in keys], "v": vals})
+    ds = rd.from_pandas(df)
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": g["k"].iloc[0], "s": g["v"].sum(),
+                              "mx": g["v"].max()}])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{"k": g["k"].iloc[0], "s": g["s"].sum(),
+                              "mx": g["mx"].max()}])
+
+    out = salted_group_apply(ds, ["k"], partial, combine).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    want = df.groupby("k").agg(s=("v", "sum"), mx=("v", "max")) \
+        .reset_index().sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[["k", "s", "mx"]], want,
+                                  check_dtype=False)
