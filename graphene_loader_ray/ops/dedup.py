@@ -29,7 +29,6 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from .aggregate import pre_aggregated_count
 
 # 31-bit Mersenne prime field: a*x stays < 2^62, so the affine minhash
 # batch is pure uint64 numpy (no bigint fallback)

@@ -12,7 +12,6 @@ from __future__ import annotations
 import hashlib
 import re
 
-import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset

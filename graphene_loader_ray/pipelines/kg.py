@@ -25,8 +25,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..kb import spec
-from ..ops.aggregate import pre_aggregated_count, pre_aggregated_sum
+from ..ops.aggregate import pre_aggregated_sum
 from ..stages.canonicalize import (canonical_map, canonicalize_edges,
                                    canonicalize_nodes)
 from ..stages.derive import derive_edges

@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -27,7 +26,6 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..ops.aggregate import pre_aggregated_count
 from ..ops.dedup import (embedding_neardup_pairs, exact_text_dedup,
                          minhash_dedup_pairs, simhash_signatures)
 from ..ops.join import equi_join

@@ -75,6 +75,15 @@ def test_counters_quarantine_policy(pipeline_result, oracle_result):
     assert any(k.startswith("dangling_edge:") for k in c)
 
 
+def test_no_alt_id_edges(pipeline_result, oracle_result):
+    """SURVEY.md §2.11: preprocess removes alt_id before NCBITaxonLoader
+    reads it (GrameneMongoLoader.groovy:312 vs NCBITaxonLoader.groovy:187)
+    — the ALT_ID path is dead code, so the golden set has NO ALT_ID edges."""
+    eng = _triples(pipeline_result["graph_dir"])
+    assert not any(p == "ALT_ID" for _, p, _ in eng)
+    assert not any(p == "ALT_ID" for _, p, _ in oracle_result["triples"])
+
+
 def test_mention_counts_match_oracle(pipeline_result, oracle_result):
     """Surface-frequency table (A4 head-entity/skew input) matches the
     oracle's single-process scan, and head entities dominate it."""
