@@ -85,7 +85,8 @@ def run_default() -> None:
     os.makedirs(out)
 
     t0 = time.time()
-    res = run_kg_pipeline(fixture, out, n_page_partitions=4)
+    res = run_kg_pipeline(fixture, out, n_page_partitions=4,
+                          concurrency=_pool(NCPU))
     headline = time.time() - t0
     docs_s = n_pages / headline
 

@@ -127,6 +127,32 @@ def test_kill_and_resume_equivalence(smoke_fixture_dir, tmp_path_factory,
     assert _triples(res["graph_dir"]) == oracle_result["triples"]
 
 
+def test_changed_input_invalidates_partition(tmp_path):
+    """A partition is skipped iff its input fingerprint matches — touching
+    an input file re-runs exactly that partition."""
+    import shutil
+
+    from graphene_loader_ray.pipelines.checkpoint import (StageManifest,
+                                                          fingerprint_paths)
+
+    f1 = tmp_path / "a.parquet"
+    f1.write_bytes(b"one")
+    f2 = tmp_path / "b.parquet"
+    f2.write_bytes(b"two")
+    man = StageManifest(str(tmp_path / "out"), "stage")
+    fp1 = fingerprint_paths([str(f1)])
+    man.start("p0")
+    man.commit("p0", fp1)
+    assert man.is_done("p0", fingerprint_paths([str(f1)]))
+    # same content, different mtime => invalidated (conservative)
+    import os
+    os.utime(f1, ns=(1, 1))
+    assert not man.is_done("p0", fingerprint_paths([str(f1)]))
+    # re-open manifest from disk: state survives process restart
+    man2 = StageManifest(str(tmp_path / "out"), "stage")
+    assert "p0" in man2.partitions
+
+
 def test_components_distributed_matches_union_find(smoke_fixture_dir):
     """label_propagation (scale path) == union_find (driver path)."""
     import ray.data as rd

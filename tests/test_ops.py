@@ -164,6 +164,23 @@ def test_quality_and_langid(doc_ds):
     assert by_id[0] == by_id[1]
 
 
+def test_langid_per_language(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.textstats import quality
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat and it was warm"},
+        {"doc_id": 1, "text": "el perro corre por la calle y es muy rápido"},
+        {"doc_id": 2, "text": "der Hund läuft und die Katze ist im Haus"},
+        {"doc_id": 3, "text": "le chat est dans la maison et les chiens"},
+        {"doc_id": 4, "text": "光合作用 是 植物 的 过程"},
+    ]
+    out = quality(rd.from_items(rows)).to_pandas()
+    got = dict(zip(out["doc_id"], out["lang_guess"]))
+    assert got == {0: "en", 1: "es", 2: "de", 3: "fr", 4: "zh"}
+
+
 def test_sessionize_vs_duckdb(ray_session):
     import duckdb
     import ray.data as rd
