@@ -336,22 +336,6 @@ def chain_genes_part(part: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _min_gene_maptaxon_part(part: pd.DataFrame) -> pd.DataFrame:
-    """taxon→map CONTAINS from the min-_id gene of each map."""
-    rows: list[dict] = []
-    for _, g in part.groupby("subj", sort=False):
-        first = g.sort_values("name").iloc[0]
-        if first["ext_id"] is None or isinstance(first["ext_id"], float):
-            continue
-        rows.append({"kind": "ref", "subj": first["subj"],
-                     "pred": spec.REL_CONTAINS, "source": first["source"],
-                     "ext_id": first["ext_id"], "rev": True})
-    cols = ["kind", "subj", "pred", "source", "ext_id", "rev"]
-    if not rows:
-        return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})
-    return pd.DataFrame(rows, columns=cols)
-
-
 # ------------------------------------------------------------------ assembly
 
 @dataclass
@@ -370,35 +354,64 @@ def _kept(batch: pa.Table, kind: str, cols: list[str]) -> pa.Table:
 
 def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     """vocab parquet → KB (nodes/edges datasets + broadcast artifacts)."""
-    objects = rd.read_parquet(os.path.join(fixture_dir, "vocab_objects.parquet"))
-    v_edges = rd.read_parquet(os.path.join(fixture_dir, "vocab_edges.parquet"))
-    terms = rd.read_parquet(os.path.join(fixture_dir, "vocab_terms.parquet"))
+    # override_num_blocks: Ray's default read fans a small file into ~64
+    # near-empty blocks (read_op_min_num_blocks) — at vocab scale that
+    # block bloat, not data, dominates every downstream op. At reference
+    # scale (~600k rows) raise this toward num CPUs.
+    objects = rd.read_parquet(os.path.join(fixture_dir, "vocab_objects.parquet"),
+                              override_num_blocks=2)
+    v_edges = rd.read_parquet(os.path.join(fixture_dir, "vocab_edges.parquet"),
+                              override_num_blocks=2)
+    terms = rd.read_parquet(os.path.join(fixture_dir, "vocab_terms.parquet"),
+                            override_num_blocks=4)
 
     emissions = objects.map_batches(parse_objects, batch_format="pyarrow") \
         .union(v_edges.map_batches(parse_object_edges, batch_format="pyarrow")) \
         .union(terms.map_batches(parse_terms, batch_format="pyarrow")) \
         .materialize()          # vocab-scale: small, reused intermediate
 
-    # registry → broadcast dict (C3: externalIdToNeoId as a ray.put artifact)
-    reg_df = emissions.map_batches(
-        lambda t: _kept(t, "registry", ["source", "ext_id", "subj"]),
-        batch_format="pyarrow").to_pandas()
-    registry = {(r.source, r.ext_id): r.subj for r in reg_df.itertuples()}
+    # ONE driver pass over the (vocab-scale, materialized) emissions for
+    # every driver-bound artifact: the broadcast registry (C3), the
+    # gazetteer surface rows, and the per-map min-_id gene for the
+    # taxon→map CONTAINS rule. These are broadcast/metadata artifacts by
+    # design — collecting them in one iter_batches avoids three separate
+    # dataset executions whose fixed cost dwarfs the data.
+    import pyarrow.compute as pc
+    registry: dict[tuple[str, str], str] = {}
+    gazetteer_rows: list[tuple[str, str, bool]] = []
+    map_min: dict[str, tuple[str, str | None, str]] = {}  # map_key -> (gene_sort, ext_id, source)
+    for batch in emissions.iter_batches(batch_size=65536,
+                                        batch_format="pyarrow"):
+        reg = batch.filter(pc.equal(batch["kind"], "registry"))
+        for s, e, k in zip(reg["source"].to_pylist(), reg["ext_id"].to_pylist(),
+                           reg["subj"].to_pylist()):
+            registry[(s, e)] = k
+        surf = batch.filter(pc.equal(batch["kind"], "surface"))
+        gazetteer_rows.extend(zip(surf["surface"].to_pylist(),
+                                  surf["subj"].to_pylist(),
+                                  surf["is_primary"].to_pylist()))
+        mt = batch.filter(pc.equal(batch["kind"], "maptaxon"))
+        for mk, nm, src, ext in zip(mt["subj"].to_pylist(),
+                                    mt["name"].to_pylist(),
+                                    mt["source"].to_pylist(),
+                                    mt["ext_id"].to_pylist()):
+            cur = map_min.get(mk)
+            if cur is None or nm < cur[0]:
+                map_min[mk] = (nm, ext, src)
     registry_ref = ray.put(registry)
+
+    maptaxon_rows = [{**_EMPTY, "kind": "ref", "subj": mk,
+                      "pred": spec.REL_CONTAINS, "source": src,
+                      "ext_id": ext, "rev": True}
+                     for mk, (_nm, ext, src) in sorted(map_min.items())
+                     if ext is not None]
+    maptaxon_refs = rd.from_arrow(
+        pa.Table.from_pylist(maptaxon_rows, schema=EMIT_SCHEMA))
 
     refs = emissions.map_batches(
         lambda t: t.filter(pa.compute.is_in(t["kind"], pa.array(["ref", "edge_ids"]))),
         batch_format="pyarrow")
     from ..ops.partition import group_partitioned
-    maptaxon_refs = group_partitioned(
-        emissions.map_batches(
-            lambda t: _kept(t, "maptaxon",
-                            ["subj", "name", "source", "ext_id"]),
-            batch_format="pyarrow"),
-        ["subj"], _min_gene_maptaxon_part, num_partitions=4) \
-        .map_batches(lambda df: pa.Table.from_pylist(
-            [{**_EMPTY, **r} for r in df.to_dict("records")],
-            schema=EMIT_SCHEMA), batch_format="pandas")
 
     # materialized: consumed twice (edge union + miss counters) — without
     # this the resolver actor pool would spin up and re-resolve per consumer
@@ -450,12 +463,6 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
             batch_format="pyarrow"),
         ["label", "name"], merge_nodes_part,
         num_partitions=num_partitions).materialize()
-
-    gaz_df = emissions.map_batches(
-        lambda t: _kept(t, "surface", ["surface", "subj", "is_primary"]),
-        batch_format="pyarrow").to_pandas()
-    gazetteer_rows = [(r.surface, r.subj, bool(r.is_primary))
-                      for r in gaz_df.itertuples()]
 
     return KB(nodes=nodes, edges=edges, registry=registry,
               gazetteer_rows=gazetteer_rows, counters=counters)
