@@ -155,6 +155,53 @@ def top10_orders(sf_dir: str):
         .limit(10)
 
 
+def supplier_region_stats(sf_dir: str):
+    """Two chained broadcast joins over a dimension snowflake
+    (supplier → nation → region): region-level supplier stats."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    r_name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    nation_to_region = {n: r_name[r] for n, r in
+                        zip(nation["n_nationkey"].to_pylist(),
+                            nation["n_regionkey"].to_pylist())}
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"]) \
+        .map_batches(lambda t: pa.table({
+            "s_nationkey": t["s_nationkey"],
+            "acctbal_c": _cents(t["s_acctbal"])}), batch_format="pyarrow")
+    joined = attach_broadcast(sup, ray.put(nation_to_region),
+                              "s_nationkey", "r_name")
+    out = joined.groupby("r_name") \
+        .aggregate(Count(alias_name="n_suppliers"),
+                   Sum("acctbal_c", alias_name="acctbal_c"))
+    return out.map_batches(lambda t: pa.table({
+        "r_name": t["r_name"], "n_suppliers": t["n_suppliers"],
+        "sum_acctbal": pc.divide(pc.cast(t["acctbal_c"], pa.float64()),
+                                 100.0)}), batch_format="pyarrow")
+
+
+def part_type_stats(sf_dir: str):
+    """Grouped stats with a computed categorical (first word of p_type)."""
+    ds = _read(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.split_pattern(t["p_type"], " ", max_splits=1), 0)
+        return pa.table({"type_family": first, "p_size": t["p_size"],
+                         "price_c": _cents(t["p_retailprice"])})
+
+    out = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("type_family") \
+        .aggregate(Count(alias_name="n_parts"),
+                   Sum("p_size", alias_name="sum_size"),
+                   Sum("price_c", alias_name="price_c"))
+    return out.map_batches(lambda t: pa.table({
+        "type_family": t["type_family"], "n_parts": t["n_parts"],
+        "sum_size": t["sum_size"],
+        "sum_retailprice": pc.divide(pc.cast(t["price_c"], pa.float64()),
+                                     100.0)}), batch_format="pyarrow")
+
+
 def user_hourly_clicks(sf_dir: str):
     """Event-time tumbling window as bucket column + groupby."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
@@ -314,6 +361,8 @@ QUERIES = {
     "mktsegment_order_stats": mktsegment_order_stats,
     "revenue_by_priority": revenue_by_priority,
     "top10_orders": top10_orders,
+    "supplier_region_stats": supplier_region_stats,
+    "part_type_stats": part_type_stats,
     "user_hourly_clicks": user_hourly_clicks,
     "purchase_asof_click": purchase_asof_click,
     "user_sessions": user_sessions,
@@ -371,6 +420,24 @@ ORACLE_SQL = {
     "top10_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "supplier_region_stats": """
+        SELECT r_name,
+               count(*) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "part_type_stats": """
+        SELECT split_part(p_type, ' ', 1) AS type_family,
+               count(*) AS n_parts,
+               sum(p_size) AS sum_size,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_retailprice
+        FROM part GROUP BY type_family
     """,
     "user_hourly_clicks": """
         SELECT user_id,
