@@ -123,3 +123,83 @@ def knn_lsh(embs: Dataset, queries: dict[int, list[float]], k: int = 10,
         fn_constructor_args=(qref, k, n_planes, vec_col, id_col),
         batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
     return _global_topk(local, k)
+
+
+# ------------------------------------------------------------------- IVF
+
+def train_centroids(embs: Dataset, n_cells: int = 16, sample: int = 4096,
+                    iters: int = 5, vec_col: str = "embedding") -> np.ndarray:
+    """k-means-lite coarse quantizer: Lloyd iterations on a driver-side
+    sample (seeded, deterministic). The corpus never materializes — only a
+    bounded sample does; the centroid matrix is the broadcastable artifact
+    (IVF's small side)."""
+    rows = []
+    for batch in embs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        rows.extend(batch[vec_col].to_pylist())
+        if len(rows) >= sample:
+            break
+    x = _unit(np.asarray(rows[:sample], np.float64))
+    rng = np.random.default_rng(13)
+    cent = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)          # cosine on unit vecs
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+class _IvfScorer:
+    """Score only vectors whose nearest centroid is among the query's
+    n_probe closest cells (classic IVF search)."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int, n_probe: int,
+                 vec_col: str, id_col: str) -> None:
+        q = ray.get(queries_ref)
+        self.qids = np.array(sorted(q))
+        self.qmat = _unit(np.asarray([q[i] for i in self.qids], np.float64))
+        self.cent = ray.get(centroids_ref)
+        self.k, self.n_probe = k, n_probe
+        self.vec_col, self.id_col = vec_col, id_col
+        qsim = self.qmat @ self.cent.T                  # (nq, cells)
+        self.qcells = np.argsort(-qsim, axis=1)[:, :n_probe]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), np.float64))
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        cells = np.argmax(vecs @ self.cent.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = np.isin(cells, self.qcells[qi])
+            if not mask.any():
+                continue
+            row = vecs[mask] @ self.qmat[qi]
+            sel_ids = ids[mask]
+            k = min(self.k, len(row))
+            top = np.argpartition(-row, k - 1)[:k] if len(row) > k else \
+                np.arange(len(row))
+            for j in top:
+                out_q.append(int(qid))
+                out_v.append(int(sel_ids[j]))
+                out_s.append(round(float(row[j]), 6))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def knn_ivf(embs: Dataset, queries: dict[int, list[float]], k: int = 10,
+            n_cells: int = 16, n_probe: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id") -> Dataset:
+    """IVF ANN: k-means-lite coarse cells (trained on a sample, broadcast),
+    per-batch cell assignment, search restricted to the query's n_probe
+    cells. Recall grows with n_probe (n_probe=n_cells degenerates to
+    brute force)."""
+    cent = train_centroids(embs, n_cells=n_cells, vec_col=vec_col)
+    qref, cref = ray.put(queries), ray.put(cent)
+    local = embs.map_batches(
+        _IvfScorer, fn_constructor_args=(qref, cref, k, n_probe,
+                                         vec_col, id_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 8))
+    return _global_topk(local, k)

@@ -31,7 +31,7 @@ from ..ops.dedup import (embedding_neardup_pairs, exact_text_dedup,
 from ..ops.join import equi_join
 from ..ops.relational import (add_time_bucket, asof_join, attach_broadcast,
                               sessionize)
-from ..ops.similarity import knn_brute, knn_lsh
+from ..ops.similarity import knn_brute, knn_ivf, knn_lsh
 from ..ops.textstats import STOPWORDS, quality, token_stats
 
 
@@ -308,6 +308,12 @@ def knn_top10_lsh(sf_dir: str):
                    _query_vectors(sf_dir), k=10)
 
 
+def knn_top10_ivf(sf_dir: str):
+    return knn_ivf(_read(sf_dir, "embeddings",
+                         columns=["vec_id", "embedding"]),
+                   _query_vectors(sf_dir), k=10, n_cells=16, n_probe=4)
+
+
 # ------------------------------------------------------------- KG pipeline
 
 _SF_PAGES = {"0.001": 400, "0.01": 1000, "0.1": 4000}
@@ -374,6 +380,7 @@ QUERIES = {
     "dedup_embedding": dedup_embedding,
     "knn_top10": knn_top10,
     "knn_top10_lsh": knn_top10_lsh,
+    "knn_top10_ivf": knn_top10_ivf,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_mentions": kg_mentions,

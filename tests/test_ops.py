@@ -128,6 +128,35 @@ def test_knn_lsh_recall(ray_session):
     assert sum(recalls) / len(recalls) >= 0.6   # approximate, but useful
 
 
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.similarity import knn_brute, knn_ivf
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 16)) * 3
+    vecs = np.concatenate([c + 0.3 * rng.standard_normal((40, 16))
+                           for c in centers])
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()}
+                        for i in range(len(vecs))])
+    queries = {0: vecs[0].tolist(), 100: vecs[100].tolist(),
+               200: vecs[200].tolist()}
+    brute = knn_brute(ds, queries, k=10).to_pandas()
+    approx = knn_ivf(ds, queries, k=10, n_cells=8, n_probe=2).to_pandas()
+    recalls = []
+    for qid in queries:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.8   # clustered data, 2 probes
+    # full-probe degenerates to brute force
+    full = knn_ivf(ds, queries, k=10, n_cells=8, n_probe=8).to_pandas()
+    for qid in queries:
+        b = set(brute[brute["query_id"] == qid]["vec_id"])
+        f = set(full[full["query_id"] == qid]["vec_id"])
+        assert f == b
+
+
 def test_text_stats_vs_duckdb(ray_session):
     import duckdb
     import ray.data as rd
