@@ -222,12 +222,15 @@ def _mp_hardware_control(fixture: str, kb_dir: str):
     _CTL_TEXTS = [x for x in pt["text"].to_pylist() if x][:4000]
     out = []
     for procs in (_pool(8), _pool(32)):
-        n_chunks = procs * 6
-        with mp.Pool(procs) as p:
-            t0 = time.time()
-            p.map(_control_work, range(n_chunks))
-            dt = time.time() - t0
-        out.append(round(n_chunks * len(_CTL_TEXTS) / dt, 1))
+        best = 0.0
+        for _ in range(2):       # interleaved best-of: residual load from
+            n_chunks = procs * 6  # the Ray children skews single runs
+            with mp.Pool(procs) as p:
+                t0 = time.time()
+                p.map(_control_work, range(n_chunks))
+                dt = time.time() - t0
+            best = max(best, n_chunks * len(_CTL_TEXTS) / dt)
+        out.append(round(best, 1))
     return out
 
 
