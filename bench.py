@@ -35,8 +35,9 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # pages in the synthetic corpus per sf tier (deterministic, cached)
 PAGES_BY_SF = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
 
-QUERY_NAMES = ["q1_pricing_summary", "revenue_by_priority", "dedup_exact",
-               "dedup_minhash", "text_stats", "knn_top10",
+QUERY_NAMES = ["q1_pricing_summary", "revenue_by_priority",
+               "supplier_region_stats", "part_type_stats", "dedup_exact",
+               "dedup_minhash", "text_stats", "knn_top10", "knn_top10_ivf",
                "user_hourly_clicks", "user_sessions"]
 
 
