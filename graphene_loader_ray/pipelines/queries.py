@@ -240,8 +240,17 @@ def purchase_asof_click(sf_dir: str):
             ["user_id", "ts", "click_value"]), batch_format="pyarrow")
     out = asof_join(purchases, clicks, "user_id", "ts",
                     right_value_cols=["click_value"], left_cols=["event_id"])
-    return out.map_batches(lambda t: t.select(
-        ["event_id", "user_id", "click_value"]), batch_format="pyarrow")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the tag-union null-pads event_id on right-side rows and the pandas
+        # map_groups upcasts int64-with-nulls to float64; purchase rows are
+        # never null there, so cast back for a driver-hash-identical dtype
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": t["user_id"],
+            "click_value": t["click_value"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def user_sessions(sf_dir: str):
@@ -441,7 +450,7 @@ ORACLE_SQL = {
     "part_type_stats": """
         SELECT split_part(p_type, ' ', 1) AS type_family,
                count(*) AS n_parts,
-               sum(p_size) AS sum_size,
+               CAST(sum(p_size) AS BIGINT) AS sum_size,
                CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_retailprice
         FROM part GROUP BY type_family
@@ -467,9 +476,9 @@ ORACLE_SQL = {
                                ORDER BY ts, event_id) AS prev_ts
           FROM events)
         SELECT user_id, count(*) AS n_events,
-               sum(CASE WHEN prev_ts IS NULL
-                        OR epoch(ts) - epoch(prev_ts) > 1800
-                        THEN 1 ELSE 0 END) AS n_sessions
+               CAST(sum(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM e GROUP BY user_id
     """,
     "dedup_exact": """
