@@ -101,5 +101,13 @@ def label_propagation(pairs_ds: Dataset, max_rounds: int = 16) -> Dataset:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation needs O(component diameter) rounds; a
+        # silent non-fixpoint would return wrong canonicals and diverge
+        # from union_find (ADVICE r1)
+        raise RuntimeError(
+            f"label_propagation did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); component diameter exceeds "
+            f"the round cap — raise max_rounds")
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "canonical"]), batch_format="pyarrow")

@@ -245,6 +245,11 @@ class OracleKG:
         """GeneLoader.groovy:37-219 (+ adjacency chains from after())."""
         adjacency: dict[str, dict[int, str]] = {}
         known_sets: set[str] = set()
+        # taxon→map CONTAINS: decided by the min-_id gene per map (the
+        # commutative replacement for the reference's 'first gene creating
+        # the map' row-order rule, GeneLoader.groovy:162-165) — identical to
+        # the engine's map_min reduction (stages/vocab.py)
+        map_taxon: dict[str, tuple[int, object]] = {}  # map_key -> (_id, taxon_id)
         for g in rows:
             key = self.node("Gene", g["name"], surface=True)
             # linkToReactome (GeneLoader.groovy:101-108)
@@ -258,7 +263,11 @@ class OracleKG:
             if g.get("taxon_id") is not None:
                 taxon_key = self.registry.get(spec.TAXONOMY_SOURCE, {}).get(g["taxon_id"])
                 if taxon_key is None:
-                    self.counters["dangling_edge:genes:SPECIES"] += 1
+                    # counter keyed by registry source, matching the engine's
+                    # ResolveRefs miss rows (stages/vocab.py)
+                    self.counters[
+                        f"dangling_edge:{spec.TAXONOMY_SOURCE}:"
+                        f"{spec.REL_SPECIES}"] += 1
                 else:
                     self.link(key, spec.REL_SPECIES, taxon_key)
             # ontology xrefs (GeneLoader.groovy:110-143)
@@ -282,7 +291,12 @@ class OracleKG:
                 for ipr_id in ipr:
                     d_key = self.registry.get(spec.DOMAINS_SOURCE, {}).get(ipr_id)
                     if d_key is None:
-                        self.counters["dangling_edge:genes:CONTAINS"] += 1
+                        # two probes per (gene, ipr) — gene-CONTAINS and
+                        # set-CONTAINS — mirroring the engine's two ref
+                        # emissions through ResolveRefs
+                        self.counters[
+                            f"dangling_edge:{spec.DOMAINS_SOURCE}:"
+                            f"{spec.REL_CONTAINS}"] += 2
                         continue
                     self.link(key, spec.REL_CONTAINS, d_key)
                     if is_new:
@@ -295,11 +309,10 @@ class OracleKG:
             if loc and loc.get("map"):
                 map_name = loc["map"]
                 region_name = spec.region_node_name(map_name, loc["region"])
-                map_key = spec.node_key(spec.LABEL_MAP, map_name)
-                map_is_new = map_key not in self.nodes
                 map_key = self.node(spec.LABEL_MAP, map_name)
-                if map_is_new and taxon_key is not None:
-                    self.link(taxon_key, spec.REL_CONTAINS, map_key)
+                cur = map_taxon.get(map_key)
+                if cur is None or g["_id"] < cur[0]:
+                    map_taxon[map_key] = (g["_id"], g.get("taxon_id"))
                 region_key = spec.node_key(spec.LABEL_REGION, region_name)
                 region_is_new = region_key not in self.nodes
                 region_key = self.node(spec.LABEL_REGION, region_name)
@@ -312,6 +325,19 @@ class OracleKG:
                 slot = adjacency.setdefault(region_key, {})
                 if loc["start"] not in slot or key < slot[loc["start"]]:
                     slot[loc["start"]] = key
+        # taxon→map CONTAINS from the per-map min-_id gene; a present-but-
+        # unresolvable taxon_id is a dangling ref (engine: maptaxon ref
+        # through ResolveRefs, source=taxonomy)
+        for map_key, (_gid, taxon_id) in map_taxon.items():
+            if taxon_id is None:
+                continue
+            t_key = self.registry.get(spec.TAXONOMY_SOURCE, {}).get(taxon_id)
+            if t_key is None:
+                self.counters[
+                    f"dangling_edge:{spec.TAXONOMY_SOURCE}:"
+                    f"{spec.REL_CONTAINS}"] += 1
+            else:           # reversed: taxon CONTAINS map (engine rev=True)
+                self.link(t_key, spec.REL_CONTAINS, map_key)
         # after(): FIRST_GENE / NEXT / LAST_GENE chains (GeneLoader.groovy:79-95)
         for region_key, by_start in adjacency.items():
             ordered = [by_start[s] for s in sorted(by_start)]

@@ -71,8 +71,14 @@ def test_counters_quarantine_policy(pipeline_result, oracle_result):
     assert c["quarantined_pages"] >= 1
     # unknown surfaces dropped + counted (Loader.groovy:414-427)
     assert c["unlinked_mentions"] == oracle_result["counters"]["unlinked_mentions"]
-    # dangling KB refs counted per (source, pred)
-    assert any(k.startswith("dangling_edge:") for k in c)
+    # dangling KB refs counted per (source, pred) — identical diagnostics
+    # from both paths (keys AND values), per the shared counter naming rule
+    eng_dangling = {k: v for k, v in c.items()
+                    if k.startswith("dangling_edge:")}
+    gold_dangling = {k: v for k, v in oracle_result["counters"].items()
+                     if k.startswith("dangling_edge:")}
+    assert eng_dangling == gold_dangling
+    assert eng_dangling
 
 
 def test_no_alt_id_edges(pipeline_result, oracle_result):

@@ -1,3 +1,5 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import shutil, time, ray
 ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
 from graphene_loader_ray.context import configure
