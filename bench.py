@@ -258,7 +258,7 @@ def _control_work(_i: int) -> int:
     from graphene_loader_ray.functions.linking import (Gazetteer,
                                                        link_paragraphs)
     gaz = Gazetteer.from_rows(_CTL_ROWS)
-    gaz.mention_pattern()
+    gaz.matcher()
     n = 0
     for text in _CTL_TEXTS:
         link_paragraphs(text, gaz, {})

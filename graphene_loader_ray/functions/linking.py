@@ -54,7 +54,134 @@ def parse_sentence(paragraph: str) -> tuple[str, str, str] | None:
     return m.group(1), m.group(2), m.group(3)
 
 
-# ----------------------------------------------------------------- gazetteer
+# ------------------------------------------------------- mention automaton
+
+# symbol alphabet: maximal \w-runs, single punctuation chars, single spaces
+# (normalized text has single spaces only, so every char lands in exactly
+# one symbol)
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]| ")
+_WORD_CHAR = re.compile(r"\w")
+
+
+class TokenAhoCorasick:
+    """Token-level Aho-Corasick with the exact semantics of the r1 regex
+    ``(?<!\\w)(S_longest|…|S_shortest)(?!\\w)`` under ``re.finditer``:
+
+      - leftmost scan, non-overlapping, resume at match end
+      - at each start, the LONGEST surface whose trailing boundary holds
+      - a match is valid iff the char before its start and the char after
+        its end are not word chars (BOS/EOS count as non-word)
+
+    Token alignment is equivalence-preserving: a char-level match can never
+    start or end inside a \\w-run (the lookarounds forbid it) and punct/
+    space symbols are single chars, so every regex match is symbol-aligned;
+    conversely symbol-sequence equality is substring equality. The boundary
+    lookarounds are re-applied on the neighbor symbols, which covers the
+    punct-edged cases token alignment alone would admit (e.g. ``[x]`` right
+    after a letter).
+
+    Build is O(total surface tokens); scan is O(text tokens + matches) and
+    independent of vocabulary size — this is what makes a reference-scale
+    vocabulary (~600k entities, notes.txt:1-3) scannable where the regex
+    alternation collapses. Built once per linker actor (stages/link.py).
+    """
+
+    def __init__(self, surfaces: list[str]):
+        self.vocab: dict[str, int] = {}
+        toks_per_surface: list[tuple[str, list[int]]] = []
+        for s in surfaces:
+            toks = _TOKEN_RE.findall(s)
+            if not toks:
+                continue
+            ids = []
+            for t in toks:
+                i = self.vocab.get(t)
+                if i is None:
+                    i = self.vocab[t] = len(self.vocab)
+                ids.append(i)
+            toks_per_surface.append((s, ids))
+        # goto trie
+        self.goto: list[dict[int, int]] = [{}]
+        # out[node]: (tok_len, surface) pairs for patterns ENDING here,
+        # own + inherited via fail links, longest first
+        self.out: list[list[tuple[int, str]]] = [[]]
+        for s, ids in toks_per_surface:
+            node = 0
+            for i in ids:
+                nxt = self.goto[node].get(i)
+                if nxt is None:
+                    nxt = len(self.goto)
+                    self.goto[node][i] = nxt
+                    self.goto.append({})
+                    self.out.append([])
+                node = nxt
+            self.out[node].append((len(ids), s))
+        # fail links (BFS), merging inherited outputs
+        from collections import deque
+        self.fail = [0] * len(self.goto)
+        q = deque()
+        for child in self.goto[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for sym, child in self.goto[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and sym not in self.goto[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.goto[f].get(sym, 0)
+                if self.fail[child] == child:
+                    self.fail[child] = 0
+                inherited = self.out[self.fail[child]]
+                if inherited:
+                    merged = self.out[child] + inherited
+                    merged.sort(key=lambda p: -p[0])
+                    self.out[child] = merged
+            if self.out[node]:
+                self.out[node].sort(key=lambda p: -p[0])
+
+    def iter_matches(self, norm_text: str) -> list[str]:
+        """Matched surfaces in scan order over ALREADY-normalized text."""
+        toks = _TOKEN_RE.findall(norm_text)
+        n = len(toks)
+        if not n:
+            return []
+        vocab = self.vocab
+        is_word = [_WORD_CHAR.match(t[0]) is not None for t in toks]
+        sym = [vocab.get(t, -1) for t in toks]
+        goto, fail, out = self.goto, self.fail, self.out
+        # best valid (longest) match per start token index
+        best: dict[int, int] = {}
+        node = 0
+        for i in range(n):
+            s = sym[i]
+            if s < 0:
+                node = 0
+                continue
+            while node and s not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(s, 0)
+            o = out[node]
+            if not o:
+                continue
+            if i + 1 < n and is_word[i + 1]:
+                continue                    # (?!\w) fails for any end at i
+            for length, _surf in o:
+                start = i + 1 - length
+                if start > 0 and is_word[start - 1]:
+                    continue                # (?<!\w) fails at this start
+                if best.get(start, 0) < length:
+                    best[start] = length
+        # leftmost/longest non-overlapping greedy = finditer scan order
+        result: list[str] = []
+        cursor = 0
+        for start in sorted(best):
+            if start < cursor:
+                continue
+            length = best[start]
+            result.append("".join(toks[start:start + length]))
+            cursor = start + length
+        return result
 
 @dataclass(frozen=True)
 class Candidate:
@@ -123,11 +250,23 @@ class Gazetteer:
         prior = 1.0 if best.is_primary else 0.5
         return best.node_key, prior * idf
 
+    def matcher(self) -> "TokenAhoCorasick":
+        """Multi-pattern mention scanner, built once per actor/process.
+
+        A token-level Aho-Corasick automaton (pure Python — the sandbox has
+        no C extension for this) replacing the r1 giant regex alternation:
+        regex compile and match collapse at a realistic vocabulary (the
+        reference corpus alone is ~600k entities, notes.txt:1-3), while the
+        automaton build is O(total surface tokens) and the scan is
+        O(text tokens), independent of vocabulary size."""
+        if not hasattr(self, "_matcher"):
+            self._matcher = TokenAhoCorasick(list(self.entries))
+        return self._matcher
+
     def mention_pattern(self) -> "re.Pattern[str]":
-        """Multi-pattern scan regex over every gazetteer surface (longest
-        first so overlapping surfaces prefer the longer mention), compiled
-        once per actor/process. Input side is ``normalize_surface``d text,
-        so surfaces match case- and whitespace-insensitively."""
+        """The r1 char-level regex alternation over every surface (longest
+        first). Kept as the independent reference implementation for the
+        matcher-equivalence test; production scanning uses ``matcher()``."""
         if not hasattr(self, "_mention_re"):
             alts = sorted(self.entries, key=len, reverse=True)
             if alts:
@@ -144,8 +283,8 @@ class Gazetteer:
         occurrence count. Each matched surface resolves to its best
         candidate (same deterministic rule as ``resolve``)."""
         counts: dict[str, int] = {}
-        for m in self.mention_pattern().finditer(normalize_surface(text)):
-            cands = self.entries.get(m.group(1))
+        for surf in self.matcher().iter_matches(normalize_surface(text)):
+            cands = self.entries.get(surf)
             if not cands:
                 continue
             nk = cands[0].node_key

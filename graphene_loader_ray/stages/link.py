@@ -61,7 +61,7 @@ class LinkerActor:
 
     def __init__(self, gaz_rows_ref, canon_ref) -> None:
         self.gaz = Gazetteer.from_rows(ray.get(gaz_rows_ref))
-        self.gaz.mention_pattern()            # compile once per actor
+        self.gaz.matcher()                    # build automaton once per actor
         self.canon: dict[str, str] = ray.get(canon_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
