@@ -28,6 +28,9 @@ canonical endpoints, deduplicated on (subj, pred, obj)
 
 from __future__ import annotations
 
+import json
+import re
+
 # ---------------------------------------------------------------- node keys
 
 
@@ -137,6 +140,108 @@ REFDB_EC = "EC"
 DOMAIN_NODE_PROP_KEYS = frozenset(
     {"_id", "id", "name", "short_name", "synonym", "type", "description", "abstract"})
 LABEL_INTERPRO_SIGNATURE = "InterProSignature"
+
+
+# ------------------------------------------------------------- property maps
+#
+# Node/edge property semantics mirrored from the reference:
+#   - scalar props merged onto cached nodes, collections dropped in the
+#     cached merge (Importer.groovy addPropertiesToNode ~117-123) but
+#     stored as arrays on direct sets (Loader.groovy:102-107) — the two
+#     policies are applied AT EMISSION (cached-merge sites never emit
+#     collections; direct-set sites may), so the merge itself is uniform
+#   - digit-string promotion to int before storing (ReactomeLoader.groovy
+#     addProperties :248-258); edge `rank` likewise (:267-270)
+#   - m:1 relationship columns denormalize the target's name onto the
+#     source node as `<rship>Name` (ReactomeLoader.groovy:271-278)
+#   - gene ontology xrefs carry the evidence code as an edge prop
+#     (GeneLoader.groovy createOntologyXrefs :84-117)
+#
+# The reference's merge is last-writer-wins (order-dependent); ours is the
+# commutative rule SURVEY.md §7.4 requires: per key, conflicting values
+# resolve to the least by canonical-JSON ordering — deterministic under any
+# parallel schedule. Props serialize as a canonical JSON object string
+# (sorted keys) so Arrow carries one nullable string column.
+
+_ALL_DIGITS = re.compile(r"\d+\Z")
+
+
+def promote_digits(v):
+    """ReactomeLoader.groovy:252-254: string of digits -> int."""
+    if isinstance(v, str) and _ALL_DIGITS.match(v):
+        return int(v)
+    return v
+
+
+def props_json(props: dict | None) -> str | None:
+    """Canonical serialized form (sorted keys, compact); None when empty."""
+    if not props:
+        return None
+    return json.dumps(props, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
+
+
+def parse_props(s: str | None) -> dict:
+    return json.loads(s) if s else {}
+
+
+def _value_order(v) -> str:
+    return json.dumps(v, sort_keys=True, ensure_ascii=False)
+
+
+def merge_props(a: dict, b: dict) -> dict:
+    """Commutative per-key merge: union of keys; on conflict the value that
+    is least in canonical-JSON order wins (SURVEY.md §7.4)."""
+    out = dict(a)
+    for k, v in b.items():
+        cur = out.get(k)
+        if cur is None and k not in out:
+            out[k] = v
+        elif cur != v:
+            out[k] = min(cur, v, key=_value_order)
+    return out
+
+
+def merge_props_json(a: str | None, b: str | None) -> str | None:
+    if not a:
+        return b or None
+    if not b:
+        return a
+    if a == b:
+        return a
+    return props_json(merge_props(parse_props(a), parse_props(b)))
+
+
+def m1_prop_name(pred_col: str) -> str:
+    """snake_case m:1 relationship column -> `<camelCol>Name` prop key
+    (ReactomeLoader.groovy:271-278; the reference's columns are camelCase
+    already — ours are snake_case by fixture manifest, so camelize)."""
+    parts = pred_col.split("_")
+    camel = parts[0] + "".join(p.capitalize() for p in parts[1:])
+    return camel + "Name"
+
+
+def parse_ontology_xref_value(val: str) -> tuple[int, str | None]:
+    """Gene ontology-xref value: `"1234"` or `"1234|IEA"` (fixture
+    flattening of the reference's {evidence_code: [ids]} maps,
+    GeneLoader.groovy:84-117) -> (term id, evidence code or None)."""
+    if "|" in val:
+        i, ev = val.split("|", 1)
+        return int(i), ev
+    return int(val), None
+
+
+# Declared scalar-prop columns of vocab_objects (the fixture manifest's
+# flattening of the reference's "scalar columns become props" convention,
+# ReactomeLoader.groovy:301-315); `identifier` is consumed as the node name
+# for NAME_FROM_IDENTIFIER_CLASSES and is NOT also a prop there
+# (ReactomeLoader.groovy:129 `cols.name = cols.remove('identifier')`).
+OBJECT_PROP_COLS = ("identifier", "accession", "ec_number")
+
+# Gene ontology-xref keys the reference selects into ontologyXrefs but then
+# skips entirely in createOntologyXrefs (GeneLoader.groovy:88) — they
+# produce NO output (not even an Xref node).
+GENE_ONTOLOGY_XREF_SKIPPED = frozenset({"goslim_goa"})
 
 
 def interpro_set_name(ipr_ids: list[int]) -> str:

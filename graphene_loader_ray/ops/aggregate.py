@@ -111,6 +111,49 @@ def salted_group_apply(ds: Dataset, keys: list[str],
                              num_partitions=num_partitions)
 
 
+def dedup_merge_props(ds: Dataset, keys: list[str],
+                      props_col: str = "props",
+                      support_col: str | None = None,
+                      num_partitions: int = 8) -> Dataset:
+    """One row per distinct ``keys`` tuple, merging the canonical-JSON
+    ``props_col`` with the commutative per-key rule (kb/spec.py:merge_props)
+    and, when ``support_col`` is given, summing it. The props-merging
+    variant of :func:`exact_dedup` (D4 edge dedup with edge properties —
+    rank/evidence, ReactomeLoader.groovy:267-270, GeneLoader.groovy:84-117).
+
+    Hash-partitioned single-shuffle (ops/partition.py); per-group fold cost
+    is bounded by the distinct-key count per partition (KB edges are
+    vocabulary-scale; corpus-scale triples reach this only after the
+    per-partition pre-aggregation)."""
+    from ..kb.spec import merge_props_json
+    from .partition import group_partitioned
+
+    import pandas as pd
+
+    def reduce_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            out = {k: pd.Series(dtype=object) for k in keys}
+            out[props_col] = pd.Series(dtype=object)
+            if support_col:
+                out[support_col] = pd.Series(dtype="int64")
+            return pd.DataFrame(out)
+
+        def fold_props(series):
+            out = None
+            for s in series:
+                if s is not None:
+                    out = merge_props_json(out, s)
+            return out
+
+        aggs = {props_col: (props_col, fold_props)}
+        if support_col:
+            aggs[support_col] = (support_col, "sum")
+        return part.groupby(keys, sort=False).agg(**aggs).reset_index()
+
+    return group_partitioned(ds, keys, reduce_part,
+                             num_partitions=num_partitions)
+
+
 def exact_dedup(ds: Dataset, keys: list[str],
                 num_output_blocks: int | None = None) -> Dataset:
     """One row per distinct ``keys`` tuple (columns = ``keys``), via the same

@@ -43,16 +43,23 @@ class Node:
     label: str
     name: str
     extra_labels: set[str] = field(default_factory=set)
+    props: dict = field(default_factory=dict)
 
     @property
     def key(self) -> str:
         return spec.node_key(self.label, self.name)
+
+    @property
+    def labels(self) -> tuple[str, ...]:
+        """Full label union, primary first (D2, Importer.groovy:125-139)."""
+        return (self.label, *sorted(self.extra_labels - {self.label}))
 
 
 class OracleKG:
     def __init__(self) -> None:
         self.nodes: dict[str, Node] = {}              # node_key -> Node
         self.edges: set[tuple[str, str, str]] = set()  # (subj_key, pred, obj_key)
+        self.edge_props: dict[tuple[str, str, str], dict] = {}
         # per-source external-id registries (Loader.groovy:398 externalIdToNeoId)
         self.registry: dict[str, dict[object, str]] = {}
         # ReactomeLoader decorator caches (ReactomeLoader.groovy:155-159)
@@ -64,9 +71,11 @@ class OracleKG:
 
     # ---------------------------------------------------------------- nodes
     def node(self, label: str, name: str, extra: set[str] | None = None,
-             surface: bool = False) -> str:
+             surface: bool = False, props: dict | None = None) -> str:
         """(label, name) upsert — NodeCache semantics (Importer.groovy:97-123).
-        Label union per Importer.groovy:125-139."""
+        Label union per Importer.groovy:125-139; props merged with the
+        commutative rule (kb/spec.py:merge_props, replacing the
+        order-dependent putAll of addPropertiesToNode :117-123)."""
         key = spec.node_key(label, name)
         n = self.nodes.get(key)
         if n is None:
@@ -76,12 +85,20 @@ class OracleKG:
                 self.gazetteer_rows.append((name, key, True))
         if extra:
             n.extra_labels |= extra
+        if props:
+            n.props = spec.merge_props(n.props, props)
         return key
 
-    def link(self, subj_key: str, pred: str, obj_key: str) -> None:
+    def link(self, subj_key: str, pred: str, obj_key: str,
+             props: dict | None = None) -> None:
         self.edges.add((subj_key, pred, obj_key))
+        if props:
+            t = (subj_key, pred, obj_key)
+            self.edge_props[t] = spec.merge_props(self.edge_props.get(t, {}),
+                                                  props)
 
-    def link_external(self, source: str, subj_key: str, pred: str, ext_id) -> None:
+    def link_external(self, source: str, subj_key: str, pred: str, ext_id,
+                      props: dict | None = None) -> None:
         """linkToExternal + deferred resolution collapsed: the oracle defers
         by running this pass after all of a loader's nodes exist; a miss is
         counted and dropped (Loader.groovy:414-427)."""
@@ -89,7 +106,7 @@ class OracleKG:
         if obj_key is None:
             self.counters[f"dangling_edge:{source}:{pred}"] += 1
             return
-        self.link(subj_key, pred, obj_key)
+        self.link(subj_key, pred, obj_key, props=props)
 
     # ------------------------------------------------------- vocab_objects
     def load_objects(self, objects) -> dict[int, str]:
@@ -102,8 +119,16 @@ class OracleKG:
             ident, acc = row.get("identifier"), row.get("accession")
             # effective name: identifier replaces the name column for the
             # cached reference classes (ReactomeLoader.groovy:129)
-            name = ident if (cls in spec.NAME_FROM_IDENTIFIER_CLASSES and ident) else disp
-            key = self.node(cls, name, extra={"Reactome"}, surface=True)
+            name_from_ident = cls in spec.NAME_FROM_IDENTIFIER_CLASSES and ident
+            name = ident if name_from_ident else disp
+            # scalar prop columns with digit promotion
+            # (ReactomeLoader.groovy addProperties :248-258)
+            props = {c: spec.promote_digits(row[c])
+                     for c in spec.OBJECT_PROP_COLS
+                     if row.get(c) is not None
+                     and not (c == "identifier" and name_from_ident)}
+            key = self.node(cls, name, extra={"Reactome"}, surface=True,
+                            props=props)
             by_id[row["DB_ID"]] = key
             reg[row["DB_ID"]] = key
             if cls in spec.IDENTIFIER_REGISTRY_CLASSES and ident:
@@ -118,16 +143,25 @@ class OracleKG:
     def load_object_edges(self, edges, by_id: dict[int, str]) -> None:
         """vocab_edges (star-schema relationship columns,
         ReactomeLoader.groovy:260-282). INPUT edges are emitted pre-flipped
-        per post-import-cypher.txt:4."""
+        per post-import-cypher.txt:4. m:m columns (rank present) carry a
+        rank edge prop (:267-270); m:1 columns denormalize the target's
+        name onto the source node as `<col>Name` (J6, :271-278)."""
         for row in edges.to_pylist():
             s, o = by_id.get(row["subj_id"]), by_id.get(row["obj_id"])
-            pred = row["pred"]
+            pred, rank = row["pred"], row.get("rank")
             if s is None or o is None:
                 self.counters[f"dangling_edge:reactome:{spec.pred_name(pred)}"] += 1
                 continue
+            props = None
+            if rank is not None:
+                props = {"rank": int(rank)}
+            else:
+                self.node(self.nodes[s].label, self.nodes[s].name,
+                          props={spec.m1_prop_name(pred):
+                                 self.nodes[o].name})
             if pred in spec.FLIPPED_PREDS:
                 s, o = o, s
-            self.link(s, spec.pred_name(pred), o)
+            self.link(s, spec.pred_name(pred), o, props=props)
 
     # --------------------------------------------------------- mongo-style
     def _synonyms(self, key: str, synonyms) -> None:
@@ -162,7 +196,8 @@ class OracleKG:
                 extra.add(ns)
             for sub in t.get("subset") or []:
                 extra.add(underscore_to_camel(sub))
-            key = self.node(source, t["name"], extra=extra, surface=True)
+            key = self.node(source, t["name"], extra=extra, surface=True,
+                            props={"_id": t["_id"]})
             reg[t["_id"]] = key
             kept.append((t, key))
             self._synonyms(key, t.get("synonym"))
@@ -205,7 +240,8 @@ class OracleKG:
             rank = extract_rank(t.get("property_value"))
             if rank:
                 extra.add(rank)
-            key = self.node(spec.LABEL_TAXON, t["name"], extra=extra, surface=True)
+            key = self.node(spec.LABEL_TAXON, t["name"], extra=extra,
+                            surface=True, props={"_id": t["_id"]})
             reg[t["_id"]] = key
             kept.append((t, key))
             self._synonyms(key, t.get("synonym"))
@@ -223,13 +259,16 @@ class OracleKG:
         reg = self.registry.setdefault(spec.DOMAINS_SOURCE, {})
         for t in rows:
             extra: set[str] = set()
+            props: dict = {"_id": t["_id"]}
             for x in t.get("xref") or []:
                 parsed = parse_xref(x)
                 # `type` is a NODE_PROP_KEY (DomainLoader.groovy:227) and an
                 # extra label (DomainLoader.groovy:244)
                 if parsed and parsed[0] == "type":
                     extra.add(parsed[1])
-            key = self.node(spec.LABEL_INTERPRO, t["name"], extra=extra, surface=True)
+                    props["type"] = parsed[1]
+            key = self.node(spec.LABEL_INTERPRO, t["name"], extra=extra,
+                            surface=True, props=props)
             reg[t["_id"]] = key
             for feat in t.get("protein_features") or []:
                 parsed = parse_xref(feat)
@@ -251,7 +290,32 @@ class OracleKG:
         # the engine's map_min reduction (stages/vocab.py)
         map_taxon: dict[str, tuple[int, object]] = {}  # map_key -> (_id, taxon_id)
         for g in rows:
-            key = self.node("Gene", g["name"], surface=True)
+            # leftover scalars -> props (GeneLoader.groovy:22-40: _id as
+            # string, gene_id, location start/end/strand; Groovy
+            # `findAll{it.key && it.value}` drops null/empty)
+            loc0 = g.get("location")
+            props: dict = {"_id": str(g["_id"])}
+            if g.get("gene_id"):
+                props["gene_id"] = g["gene_id"]
+            if loc0:
+                for fk in ("start", "end", "strand"):
+                    if loc0.get(fk):
+                        props[fk] = loc0[fk]
+            # non-signature protein features -> array props via the direct
+            # setNodeProperty path (GeneLoader.groovy:181); signature-typed
+            # features are ignored (:160-162)
+            feat_by_type: dict[str, list[str]] = {}
+            for feat in g.get("protein_features") or []:
+                parsed = parse_xref(feat)
+                if parsed is None:
+                    continue
+                ftype, fname, _ = parsed
+                if ftype.lower() in self.signature_types:
+                    continue
+                feat_by_type.setdefault(ftype, []).append(fname)
+            for ftype, fnames in feat_by_type.items():
+                props[ftype] = sorted(fnames)
+            key = self.node("Gene", g["name"], surface=True, props=props)
             # linkToReactome (GeneLoader.groovy:101-108)
             if g.get("gene_id"):
                 for cls in sorted(spec.IDENTIFIER_REGISTRY_CLASSES):
@@ -270,14 +334,21 @@ class OracleKG:
                         f"{spec.REL_SPECIES}"] += 1
                 else:
                     self.link(key, spec.REL_SPECIES, taxon_key)
-            # ontology xrefs (GeneLoader.groovy:110-143)
+            # ontology xrefs (GeneLoader.groovy:110-143); goslim_goa is
+            # selected then skipped entirely (:88); evidence codes become
+            # edge props (createOntologyXrefs :84-117)
             for x in g.get("xref") or []:
                 parsed = parse_xref(x)
                 if parsed is None:
                     continue
                 typ, val, _ = parsed
+                if typ in spec.GENE_ONTOLOGY_XREF_SKIPPED:
+                    continue
                 if typ in spec.GENE_ONTOLOGY_XREF_KEYS:
-                    self.link_external(typ, key, spec.REL_ONTOLOGY_REF, int(val))
+                    oid, evidence = spec.parse_ontology_xref_value(val)
+                    self.link_external(
+                        typ, key, spec.REL_ONTOLOGY_REF, oid,
+                        props={"evidence": evidence} if evidence else None)
                 else:
                     xkey = self.node(typ, val, extra={"Xref"})
                     self.link(key, spec.REL_XREF, xkey)
@@ -489,6 +560,19 @@ class OracleKG:
             out.add((canonical.get(s, s), p, canonical.get(o, o)))
         return out
 
+    def final_edge_props(self, canonical: dict[str, str]) \
+            -> dict[tuple[str, str, str], str]:
+        """Canonical-endpoint edge props; edges collapsing onto one
+        canonical triple merge commutatively. Values are canonical-JSON
+        strings (the engine's edges.parquet `props` column format)."""
+        out: dict[tuple[str, str, str], dict] = {}
+        for (s, p, o), props in self.edge_props.items():
+            if p == spec.REL_DATABASE_BRIDGE or not props:
+                continue
+            t = (canonical.get(s, s), p, canonical.get(o, o))
+            out[t] = spec.merge_props(out.get(t, {}), props)
+        return {t: spec.props_json(d) for t, d in out.items() if d}
+
 
 def run_oracle(fixture_dir: str) -> dict:
     """Full oracle over one fixture dir; returns the golden artifacts."""
@@ -535,7 +619,11 @@ def run_oracle(fixture_dir: str) -> dict:
     kg.counters["unlinked_mentions"] = n_miss
 
     return {
-        "nodes": {k: (n.label, n.name, canonical[k]) for k, n in kg.nodes.items()},
+        # (label, name, canonical_id, labels-union, props-json) per node
+        "nodes": {k: (n.label, n.name, canonical[k], n.labels,
+                      spec.props_json(n.props))
+                  for k, n in kg.nodes.items()},
+        "edge_props": kg.final_edge_props(canonical),
         "canonical": canonical,
         "kb_triples": kb_triples,
         "page_triples": page_triples,

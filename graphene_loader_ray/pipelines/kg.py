@@ -61,20 +61,25 @@ def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
     tmp = man.start("all")
     kb = build_kb(fixture_dir)
     derived, to_nodes = derive_edges(kb.edges, kb.registry)
-    from ..ops.aggregate import exact_dedup
-    all_edges = exact_dedup(kb.edges.union(derived), ["subj", "pred", "obj"],
-                            num_output_blocks=8).materialize()
+    from ..ops.aggregate import dedup_merge_props
+    all_edges = dedup_merge_props(kb.edges.union(derived),
+                                  ["subj", "pred", "obj"],
+                                  num_partitions=8).materialize()
 
     canon = canonical_map(all_edges)
     canon_ref = ray.put(canon)
 
-    all_nodes = kb.nodes.union(to_nodes)
     canonicalize_edges(all_edges, canon_ref, num_output_blocks=8) \
         .write_parquet(os.path.join(tmp, "edges"))
-    # node dedup: To nodes reify once per witness — collapse to one row
-    # per (canonical_id, label, name)
-    exact_dedup(canonicalize_nodes(all_nodes, canon_ref),
-                ["canonical_id", "label", "name"], num_output_blocks=8) \
+    # node dedup BEFORE the canonical map is applied: To nodes reify once
+    # per witness — merge to one row per (label, name), uniting extra
+    # labels and props (vocab.merge_nodes_part)
+    from ..ops.partition import group_partitioned
+    from ..stages.vocab import merge_nodes_part
+    all_nodes = group_partitioned(kb.nodes.union(to_nodes),
+                                  ["label", "name"], merge_nodes_part,
+                                  num_partitions=8)
+    canonicalize_nodes(all_nodes, canon_ref) \
         .write_parquet(os.path.join(tmp, "nodes"))
     # normalize + dedup surfaces through Gazetteer.build so the published
     # artifact rows are exactly what Gazetteer.from_rows expects (normalized
@@ -182,19 +187,26 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
     tmp = man.start("all")
     tr_man = StageManifest(outdir, "triples")
     triple_dirs = [os.path.join(d, "triples") for d in tr_man.completed_dirs()]
+    _cols = ["subj", "pred", "obj", "support", "props"]
     kb_edges = rd.read_parquet(os.path.join(kb_dir, "edges")) \
         .map_batches(lambda t: t.append_column(
-            "support", pa.array([1] * t.num_rows, pa.int64())),
+            "support", pa.array([1] * t.num_rows, pa.int64())).select(_cols),
             batch_format="pyarrow")
-    parts = [rd.read_parquet(d) for d in triple_dirs if os.path.isdir(d)]
+    # page triples carry no props — pad so the union schema is uniform
+    parts = [rd.read_parquet(d).map_batches(
+        lambda t: t.append_column(
+            "props", pa.nulls(t.num_rows, pa.string())).select(_cols),
+        batch_format="pyarrow")
+        for d in triple_dirs if os.path.isdir(d)]
     union = kb_edges
     for p in parts:
         union = union.union(p)
-    # sum partial supports per triple (the reduce half of the two-phase dedup)
-    from ray.data.aggregate import Sum
-    final_edges = union.groupby(["subj", "pred", "obj"]) \
-                       .aggregate(Sum("support", alias_name="support")) \
-                       .repartition(8)
+    # sum partial supports per triple + merge edge props (the reduce half
+    # of the two-phase dedup; props exist only on the KB side)
+    from ..ops.aggregate import dedup_merge_props
+    final_edges = dedup_merge_props(union, ["subj", "pred", "obj"],
+                                    support_col="support", num_partitions=8) \
+        .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
     final_edges.sort(["subj", "pred", "obj"]) \
                .write_parquet(os.path.join(tmp, "edges"))
     rd.read_parquet(os.path.join(kb_dir, "nodes")) \

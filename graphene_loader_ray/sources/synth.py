@@ -312,7 +312,22 @@ def build_vocab(n_genes: int = 64, seed: int = SEED) -> SynthResult:
         sym = f"{GENUS[i % 12][:2].upper()}X{i:04d}" if i != 7 else "ZZX0006"
         gene_symbols.append(sym)
         region_no = (i // 8) % 4
+        # ontology xrefs (J5): `ONT:id` or `ONT:id|EVIDENCE`; some targets
+        # are obsolete terms (dangle), goslim_goa is dropped entirely by
+        # the loaders (GeneLoader.groovy:88), UniProt becomes an Xref node
+        gene_xrefs = []
+        if i % 4 == 0:
+            gene_xrefs.append(f"GO:{_go_id(i % 24)}|IEA")
+        elif i % 4 == 1:
+            gene_xrefs.append(f"TO:{_go_id(i % 16)}")
+        elif i % 4 == 2:
+            gene_xrefs.append(f"UniProt:P{10000 + i}")
+        if i % 6 == 3:
+            gene_xrefs.append("goslim_goa:4000")
+        if i == 5:
+            gene_xrefs.append("GO:999983")        # dangling ONTOLOGY_REF
         term("genes", i + 1, sym, "Gene",
+             xref=gene_xrefs,
              gene_id=f"GENE{i:05d}",
              taxon_id=taxa_ids[i % n_taxa] if i % 17 != 16 else 999_777,
              interpro=sorted({(i * 3) % n_domains + 1, (i * 5) % n_domains + 1}),
@@ -472,6 +487,7 @@ def build_pages(vocab: SynthResult, n_pages: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
+_FIXTURE_VERSION = 2
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -481,7 +497,9 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
     Pages are written as multiple parquet files so Ray gets real input
     sharding (SURVEY.md §4 — files/row-groups → blocks).
     """
-    tag = f"p{n_pages}_g{n_genes}_s{seed}"
+    # bump _FIXTURE_VERSION whenever this module's generation logic changes
+    # so stale /tmp caches self-invalidate (CLAUDE.md fixture-cache note)
+    tag = f"p{n_pages}_g{n_genes}_s{seed}_v{_FIXTURE_VERSION}"
     outdir = os.path.join(root, tag)
     done = os.path.join(outdir, "_SYNTH_DONE")
     if os.path.exists(done):

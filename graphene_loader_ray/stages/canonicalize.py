@@ -26,7 +26,6 @@ import ray
 from ray.data import Dataset
 
 from ..kb import spec
-from ..ops.aggregate import exact_dedup
 from ..ops.components import union_find
 
 
@@ -56,18 +55,24 @@ class _MapEndpoints:
         c = self.canon
         subj = [c.get(k, k) for k in batch["subj"].to_pylist()]
         obj = [c.get(k, k) for k in batch["obj"].to_pylist()]
+        props = batch["props"] if "props" in batch.schema.names \
+            else pa.nulls(batch.num_rows, pa.string())
         return pa.table({"subj": pa.array(subj, pa.string()),
                          "pred": batch["pred"],
-                         "obj": pa.array(obj, pa.string())})
+                         "obj": pa.array(obj, pa.string()),
+                         "props": props})
 
 
 def canonicalize_edges(edges: Dataset, canon_ref,
                        num_output_blocks: int = 8) -> Dataset:
-    """Map endpoints to canonical ids, drop bridges, dedup (D4)."""
+    """Map endpoints to canonical ids, drop bridges, dedup (D4). Edges
+    collapsing onto one canonical (subj, pred, obj) merge their props with
+    the commutative rule (kb/spec.py:merge_props)."""
+    from ..ops.aggregate import dedup_merge_props
     mapped = edges.map_batches(_MapEndpoints, fn_constructor_args=(canon_ref,),
                                batch_format="pyarrow", concurrency=(1, 4))
-    return exact_dedup(mapped, ["subj", "pred", "obj"],
-                       num_output_blocks=num_output_blocks)
+    return dedup_merge_props(mapped, ["subj", "pred", "obj"],
+                             num_partitions=num_output_blocks)
 
 
 class _NodeCanon:
@@ -78,12 +83,22 @@ class _NodeCanon:
         keys = [spec.node_key(l, n) for l, n in
                 zip(batch["label"].to_pylist(), batch["name"].to_pylist())]
         canon = [self.canon.get(k, k) for k in keys]
+        # labels = primary + extras, primary first (Importer.groovy
+        # setLabels puts the caching label first; extras sorted for
+        # determinism) — the D2 label union, now EMITTED in the output
+        labels = [[l] + sorted(set(e or []) - {l}) for l, e in
+                  zip(batch["label"].to_pylist(), batch["extra"].to_pylist())]
+        props = batch["props"] if "props" in batch.schema.names \
+            else pa.nulls(batch.num_rows, pa.string())
         return pa.table({"canonical_id": pa.array(canon, pa.string()),
-                         "label": batch["label"], "name": batch["name"]})
+                         "label": batch["label"], "name": batch["name"],
+                         "labels": pa.array(labels, pa.list_(pa.string())),
+                         "props": props})
 
 
 def canonicalize_nodes(nodes: Dataset, canon_ref) -> Dataset:
-    """(label, name[, extra]) -> (canonical_id, label, name); one row per
-    node, merged nodes share a canonical_id."""
+    """(label, name, extra, props) -> (canonical_id, label, name,
+    labels, props); one row per node, merged nodes share a canonical_id;
+    `labels` is the full label union (D2)."""
     return nodes.map_batches(_NodeCanon, fn_constructor_args=(canon_ref,),
                              batch_format="pyarrow", concurrency=(1, 4))

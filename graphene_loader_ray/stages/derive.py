@@ -159,7 +159,8 @@ def derive_edges(edges: Dataset, registry: dict,
             "name": pa.array([f"{a}|{b}" for a, b in
                               zip(t["ent_in"].to_pylist(),
                                   t["ent_out"].to_pylist())], pa.string()),
-            "extra": pa.array([[]] * t.num_rows, pa.list_(pa.string()))}),
+            "extra": pa.array([[]] * t.num_rows, pa.list_(pa.string())),
+            "props": pa.nulls(t.num_rows, pa.string())}),
         batch_format="pyarrow")
 
     # line 16: ENCODED_BY bounded closure (3 chained hash joins)
@@ -268,7 +269,10 @@ def derive_edges(edges: Dataset, registry: dict,
     bridges_j7 = refdb_adj.map_batches(j7_guarded, batch_format="pyarrow")
 
     derived = to_entity.union(to_event, reify, encoded_by, encoded_by_gene,
-                              metabolite, bridges_j7)
+                              metabolite, bridges_j7) \
+        .map_batches(lambda t: t.append_column(
+            "props", pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow")      # derived edges carry no props
     return derived, to_nodes
 
 

@@ -54,6 +54,7 @@ EMIT_SCHEMA = pa.schema([
     ("source", pa.string()), ("ext_id", pa.string()),
     ("surface", pa.string()), ("is_primary", pa.bool_()),
     ("rev", pa.bool_()),
+    ("props", pa.string()),            # canonical-JSON property map or null
 ])
 
 _EMPTY = {f.name: None for f in EMIT_SCHEMA}
@@ -66,23 +67,27 @@ class _Emitter:
         self.rows: list[dict] = []
 
     def node(self, label: str, name: str, extra: list[str] | None = None,
-             surface: bool = False) -> str:
+             surface: bool = False, props: dict | None = None) -> str:
         key = spec.node_key(label, name)
         self.rows.append({**_EMPTY, "kind": "node", "label": label,
-                          "name": name, "extra": extra or []})
+                          "name": name, "extra": extra or [],
+                          "props": spec.props_json(props)})
         if surface:
             self.surface(name, key, True)
         return key
 
-    def edge(self, subj: str, pred: str, obj: str) -> None:
+    def edge(self, subj: str, pred: str, obj: str,
+             props: dict | None = None) -> None:
         self.rows.append({**_EMPTY, "kind": "edge", "subj": subj,
-                          "pred": pred, "obj": obj})
+                          "pred": pred, "obj": obj,
+                          "props": spec.props_json(props)})
 
     def ref(self, subj: str, pred: str, source: str, ext_id,
-            rev: bool = False) -> None:
+            rev: bool = False, props: dict | None = None) -> None:
         """Edge whose target is an external id (deferred-rel analog, C4)."""
         self.rows.append({**_EMPTY, "kind": "ref", "subj": subj, "pred": pred,
-                          "source": source, "ext_id": str(ext_id), "rev": rev})
+                          "source": source, "ext_id": str(ext_id), "rev": rev,
+                          "props": spec.props_json(props)})
 
     def registry(self, source: str, ext_id, key: str) -> None:
         self.rows.append({**_EMPTY, "kind": "registry", "source": source,
@@ -105,9 +110,15 @@ def parse_objects(batch: pa.Table) -> pa.Table:
     em = _Emitter()
     for row in batch.to_pylist():
         cls, ident, acc = row["_class"], row.get("identifier"), row.get("accession")
-        name = ident if (cls in spec.NAME_FROM_IDENTIFIER_CLASSES and ident) \
-            else row["_displayName"]
-        key = em.node(cls, name, extra=["Reactome"], surface=True)
+        name_from_ident = cls in spec.NAME_FROM_IDENTIFIER_CLASSES and ident
+        name = ident if name_from_ident else row["_displayName"]
+        # scalar prop columns, digit-promoted (ReactomeLoader.groovy:248-258);
+        # identifier consumed as name is NOT also a prop (:129)
+        props = {c: spec.promote_digits(row[c])
+                 for c in spec.OBJECT_PROP_COLS
+                 if row.get(c) is not None
+                 and not (c == "identifier" and name_from_ident)}
+        key = em.node(cls, name, extra=["Reactome"], surface=True, props=props)
         em.registry("reactome", row["DB_ID"], key)
         if cls in spec.IDENTIFIER_REGISTRY_CLASSES and ident:
             em.registry(f"ident:{cls}", ident, key)
@@ -118,15 +129,26 @@ def parse_objects(batch: pa.Table) -> pa.Table:
 
 def parse_object_edges(batch: pa.Table) -> pa.Table:
     """vocab_edges → edge_ids rows; INPUT pre-flipped
-    (post-import-cypher.txt:4; ReactomeLoader.groovy:260-282)."""
+    (post-import-cypher.txt:4; ReactomeLoader.groovy:260-282).
+
+    m:m columns (rank present) carry the rank as an edge prop
+    (ReactomeLoader.groovy:267-270); m:1 columns (no rank) additionally
+    denormalize the target's name onto the source node as `<col>Name`
+    (J6, :271-278) — emitted as 'm1prop' rows resolved against the
+    registry in ResolveRefs."""
     em = _Emitter()
     for row in batch.to_pylist():
         s, o = str(row["subj_id"]), str(row["obj_id"])
-        pred = row["pred"]
+        pred, rank = row["pred"], row.get("rank")
+        props = {"rank": int(rank)} if rank is not None else None
+        if rank is None:
+            em.rows.append({**_EMPTY, "kind": "m1prop", "subj": s,
+                            "pred": pred, "obj": o})
         if pred in spec.FLIPPED_PREDS:
             s, o = o, s
         em.rows.append({**_EMPTY, "kind": "edge_ids", "subj": s,
-                        "pred": spec.pred_name(pred), "obj": o})
+                        "pred": spec.pred_name(pred), "obj": o,
+                        "props": spec.props_json(props)})
     return em.table()
 
 
@@ -145,9 +167,15 @@ def _common_term(em: _Emitter, key: str, t: dict) -> None:
         em.edge(key, spec.REL_XREF, xkey)
 
 
-def parse_terms(batch: pa.Table) -> pa.Table:
+def parse_terms(batch: pa.Table,
+                sig_types: frozenset[str] = frozenset()) -> pa.Table:
     """vocab_terms → emissions, dispatched on `source`
-    (OntologyLoader / NCBITaxonLoader / DomainLoader / GeneLoader)."""
+    (OntologyLoader / NCBITaxonLoader / DomainLoader / GeneLoader).
+
+    ``sig_types``: protein-signature type names collected from the domains
+    source BEFORE this stage runs (the C5 DomainLoader.signatureTypes
+    coupling, DomainLoader.groovy:13,45-47, made an explicit broadcast
+    instead of a hidden singleton)."""
     em = _Emitter()
     patterns = {s: relationship_pattern(s) for s in spec.ONTOLOGY_SOURCES}
     for t in batch.to_pylist():
@@ -159,7 +187,7 @@ def parse_terms(batch: pa.Table) -> pa.Table:
         elif src == spec.DOMAINS_SOURCE:
             _parse_domain(em, t)
         elif src == spec.GENES_SOURCE:
-            _parse_gene(em, t)
+            _parse_gene(em, t, sig_types)
     return em.table()
 
 
@@ -172,7 +200,10 @@ def _parse_ontology_term(em: _Emitter, t: dict, src: str, pat) -> None:
         extra.append(underscore_to_camel(t["namespace"]))
     for sub in t.get("subset") or []:
         extra.append(underscore_to_camel(sub))
-    key = em.node(src, t["name"], extra=extra, surface=True)
+    # leftover scalar -> node prop (OntologyLoader.groovy:44 `node(id,
+    # labels[path], oNode, …)` — after the pops only _id remains scalar)
+    key = em.node(src, t["name"], extra=extra, surface=True,
+                  props={"_id": t["_id"]})
     em.registry(src, t["_id"], key)
     _common_term(em, key, t)
     if src == "GO":
@@ -200,7 +231,8 @@ def _parse_taxon(em: _Emitter, t: dict) -> None:
     rank = extract_rank(t.get("property_value"))
     if rank:
         extra.append(rank)
-    key = em.node(spec.LABEL_TAXON, t["name"], extra=extra, surface=True)
+    key = em.node(spec.LABEL_TAXON, t["name"], extra=extra, surface=True,
+                  props={"_id": t["_id"]})
     em.registry(spec.TAXONOMY_SOURCE, t["_id"], key)
     _common_term(em, key, t)
     is_a = t.get("is_a") or []
@@ -211,11 +243,16 @@ def _parse_taxon(em: _Emitter, t: dict) -> None:
 def _parse_domain(em: _Emitter, t: dict) -> None:
     """DomainLoader.groovy:224-264."""
     extra = []
+    props: dict = {"_id": t["_id"]}
     for x in t.get("xref") or []:
         parsed = parse_xref(x)
-        if parsed and parsed[0] == "type":      # NODE_PROP_KEY → extra label
+        if parsed and parsed[0] == "type":
+            # `type` is BOTH a NODE_PROP_KEY (DomainLoader.groovy:227) and
+            # an extra label (:244)
             extra.append(parsed[1])
-    key = em.node(spec.LABEL_INTERPRO, t["name"], extra=extra, surface=True)
+            props["type"] = parsed[1]
+    key = em.node(spec.LABEL_INTERPRO, t["name"], extra=extra, surface=True,
+                  props=props)
     em.registry(spec.DOMAINS_SOURCE, t["_id"], key)
     for feat in t.get("protein_features") or []:
         parsed = parse_xref(feat)
@@ -226,9 +263,36 @@ def _parse_domain(em: _Emitter, t: dict) -> None:
         em.edge(sig_key, spec.REL_CONTRIBUTES_TO, key)
 
 
-def _parse_gene(em: _Emitter, t: dict) -> None:
+def _parse_gene(em: _Emitter, t: dict,
+                sig_types: frozenset[str] = frozenset()) -> None:
     """GeneLoader.groovy:37-219."""
-    key = em.node("Gene", t["name"], surface=True)
+    # leftover scalars -> node props (GeneLoader.groovy:22-40: after the
+    # pops, _id(.toString()), gene_id, start/end/strand remain; the Groovy
+    # `findAll{it.key && it.value}` drops null/empty values)
+    loc = t.get("location")
+    props: dict = {"_id": str(t["_id"])}
+    if t.get("gene_id"):
+        props["gene_id"] = t["gene_id"]
+    if loc:
+        for k in ("start", "end", "strand"):
+            if loc.get(k):
+                props[k] = loc[k]
+    # non-signature protein features -> array-valued props via the direct
+    # setNodeProperty path (GeneLoader.groovy:181, Loader.groovy:102-107);
+    # signature-typed features are ignored (:160-162); 'interpro' is the
+    # separate CONTAINS path below
+    feat_by_type: dict[str, list[str]] = {}
+    for feat in t.get("protein_features") or []:
+        parsed = parse_xref(feat)
+        if parsed is None:
+            continue
+        ftype, fname, _ = parsed
+        if ftype.lower() in sig_types:
+            continue
+        feat_by_type.setdefault(ftype, []).append(fname)
+    for ftype, names in feat_by_type.items():
+        props[ftype] = sorted(names)
+    key = em.node("Gene", t["name"], surface=True, props=props)
     if t.get("gene_id"):
         for cls in sorted(spec.IDENTIFIER_REGISTRY_CLASSES):
             em.ref(key, spec.REL_DATABASE_BRIDGE, f"ident:{cls}",
@@ -240,8 +304,12 @@ def _parse_gene(em: _Emitter, t: dict) -> None:
         if parsed is None:
             continue
         typ, val, _ = parsed
+        if typ in spec.GENE_ONTOLOGY_XREF_SKIPPED:
+            continue                     # GeneLoader.groovy:88 — no output
         if typ in spec.GENE_ONTOLOGY_XREF_KEYS:
-            em.ref(key, spec.REL_ONTOLOGY_REF, typ, int(val))
+            oid, evidence = spec.parse_ontology_xref_value(val)
+            em.ref(key, spec.REL_ONTOLOGY_REF, typ, oid,
+                   props={"evidence": evidence} if evidence else None)
         else:
             xkey = em.node(typ, val, extra=["Xref"])
             em.edge(key, spec.REL_XREF, xkey)
@@ -291,7 +359,24 @@ class ResolveRefs:
                     em.rows.append({**_EMPTY, "kind": "miss",
                                     "pred": row["pred"], "source": "reactome"})
                 else:
-                    em.edge(s, row["pred"], o)
+                    em.rows.append({**_EMPTY, "kind": "edge", "subj": s,
+                                    "pred": row["pred"], "obj": o,
+                                    "props": row.get("props")})
+            elif kind == "m1prop":
+                # J6 m:1 name denormalization (ReactomeLoader.groovy:271-278):
+                # source node gains `<col>Name` = target's display name.
+                # A dangling side emits nothing extra — the companion
+                # edge_ids row already counted the dangling edge.
+                s = self.reg.get(("reactome", row["subj"]))
+                o = self.reg.get(("reactome", row["obj"]))
+                if s is not None and o is not None:
+                    _, s_label, s_name = s.split(":", 2)
+                    o_name = o.split(":", 2)[2]
+                    em.rows.append({
+                        **_EMPTY, "kind": "node", "label": s_label,
+                        "name": s_name, "extra": [],
+                        "props": spec.props_json(
+                            {spec.m1_prop_name(row["pred"]): o_name})})
             else:  # ref
                 target = self.reg.get((row["source"], row["ext_id"]))
                 if target is None:
@@ -308,7 +393,9 @@ class ResolveRefs:
                 elif row["rev"]:
                     em.edge(target, row["pred"], row["subj"])
                 else:
-                    em.edge(row["subj"], row["pred"], target)
+                    em.rows.append({**_EMPTY, "kind": "edge",
+                                    "subj": row["subj"], "pred": row["pred"],
+                                    "obj": target, "props": row.get("props")})
         return em.table()
 
 
@@ -334,6 +421,32 @@ def chain_genes_part(part: pd.DataFrame) -> pd.DataFrame:
                              "pred": pd.Series(dtype=object),
                              "obj": pd.Series(dtype=object)})
     return pd.DataFrame(rows)
+
+
+def merge_nodes_part(part: pd.DataFrame) -> pd.DataFrame:
+    """Node-dedup reducer per hash partition (D1): union of extra labels
+    (D2, Importer.groovy:125-139) + commutative props merge (the
+    order-independent replacement for addPropertiesToNode's putAll,
+    Importer.groovy:117-123; rule in kb/spec.py:merge_props)."""
+    if part.empty:
+        return pd.DataFrame({"label": pd.Series(dtype=object),
+                             "name": pd.Series(dtype=object),
+                             "extra": pd.Series(dtype=object),
+                             "props": pd.Series(dtype=object)})
+
+    def union_extras(series) -> list[str]:
+        return sorted({e for lst in series
+                       for e in (lst if lst is not None else [])})
+
+    def fold_props(series):
+        out = None
+        for s in series:
+            out = spec.merge_props_json(out, s)
+        return out
+
+    return part.groupby(["label", "name"], sort=False) \
+        .agg(extra=("extra", union_extras),
+             props=("props", fold_props)).reset_index()
 
 
 # ------------------------------------------------------------------ assembly
@@ -365,9 +478,29 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     terms = rd.read_parquet(os.path.join(fixture_dir, "vocab_terms.parquet"),
                             override_num_blocks=4)
 
+    # C5 signatureTypes: collected from the domains source BEFORE the term
+    # parse (explicit stage ordering replacing the reference's hidden
+    # singleton coupling, DomainLoader.groovy:13 → GeneLoader.groovy:160).
+    # Driver-side is fine: this reads two columns of the vocab-scale table.
+    import pyarrow.parquet as _pq
+    _dom = _pq.read_table(os.path.join(fixture_dir, "vocab_terms.parquet"),
+                          columns=["source", "protein_features"])
+    sig_types = set()
+    for src, feats in zip(_dom["source"].to_pylist(),
+                          _dom["protein_features"].to_pylist()):
+        if src != spec.DOMAINS_SOURCE:
+            continue
+        for feat in feats or []:
+            parsed = parse_xref(feat)
+            if parsed is not None:
+                sig_types.add(parsed[0].lower())
+    sig_types = frozenset(sig_types)
+
     emissions = objects.map_batches(parse_objects, batch_format="pyarrow") \
         .union(v_edges.map_batches(parse_object_edges, batch_format="pyarrow")) \
-        .union(terms.map_batches(parse_terms, batch_format="pyarrow")) \
+        .union(terms.map_batches(
+            lambda t, st=sig_types: parse_terms(t, st),
+            batch_format="pyarrow")) \
         .materialize()          # vocab-scale: small, reused intermediate
 
     # ONE driver pass over the (vocab-scale, materialized) emissions for
@@ -409,30 +542,36 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
         pa.Table.from_pylist(maptaxon_rows, schema=EMIT_SCHEMA))
 
     refs = emissions.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["kind"], pa.array(["ref", "edge_ids"]))),
+        lambda t: t.filter(pa.compute.is_in(
+            t["kind"], pa.array(["ref", "edge_ids", "m1prop"]))),
         batch_format="pyarrow")
     from ..ops.partition import group_partitioned
 
-    # materialized: consumed twice (edge union + miss counters) — without
-    # this the resolver actor pool would spin up and re-resolve per consumer
+    # materialized: consumed thrice (edge union + m1prop node rows + miss
+    # counters) — without this the resolver actor pool would spin up and
+    # re-resolve per consumer
     resolved = refs.union(maptaxon_refs).map_batches(
         ResolveRefs, fn_constructor_args=(registry_ref,),
         batch_format="pyarrow", concurrency=(1, 4)).materialize()
 
+    _ecols = ["subj", "pred", "obj", "props"]
     direct_edges = emissions.map_batches(
-        lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
+        lambda t: _kept(t, "edge", _ecols), batch_format="pyarrow")
     resolved_edges = resolved.map_batches(
-        lambda t: _kept(t, "edge", ["subj", "pred", "obj"]), batch_format="pyarrow")
+        lambda t: _kept(t, "edge", _ecols), batch_format="pyarrow")
     chain_edges = group_partitioned(
         emissions.map_batches(
             lambda t: _kept(t, "genepos", ["subj", "obj", "ext_id"]),
             batch_format="pyarrow"),
-        ["obj"], chain_genes_part, num_partitions=num_partitions)
+        ["obj"], chain_genes_part, num_partitions=num_partitions) \
+        .map_batches(lambda t: t.append_column(
+            "props", pa.nulls(t.num_rows, pa.string())),
+            batch_format="pyarrow")
 
-    from ..ops.aggregate import exact_dedup
-    edges = exact_dedup(
+    from ..ops.aggregate import dedup_merge_props
+    edges = dedup_merge_props(
         direct_edges.union(resolved_edges).union(chain_edges),
-        ["subj", "pred", "obj"], num_output_blocks=num_partitions).materialize()
+        ["subj", "pred", "obj"], num_partitions=num_partitions).materialize()
 
     # miss counters (quarantine-not-crash policy)
     miss_df = resolved.map_batches(
@@ -442,27 +581,18 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     for r in miss_df.itertuples():
         counters[f"dangling_edge:{r.source}:{r.pred}"] += 1
 
-    # node dedup (D1 canonicalization shuffle) with label union (D2);
-    # hash-partitioned (one pandas call per partition — the reference
-    # vocabulary is ~600k nodes, far too many for per-key UDF dispatch)
-    def merge_nodes_part(part: pd.DataFrame) -> pd.DataFrame:
-        def union_extras(series) -> list[str]:
-            return sorted({e for lst in series
-                           for e in (lst if lst is not None else [])})
-        if part.empty:
-            return pd.DataFrame({"label": pd.Series(dtype=object),
-                                 "name": pd.Series(dtype=object),
-                                 "extra": pd.Series(dtype=object)})
-        return part.groupby(["label", "name"], sort=False)["extra"] \
-            .agg(union_extras).reset_index()
-
-    from ..ops.partition import group_partitioned
-    nodes = group_partitioned(
-        emissions.map_batches(
-            lambda t: _kept(t, "node", ["label", "name", "extra"]),
-            batch_format="pyarrow"),
-        ["label", "name"], merge_nodes_part,
-        num_partitions=num_partitions).materialize()
+    # node dedup (D1 canonicalization shuffle) with label union (D2) and
+    # commutative props merge; hash-partitioned (one pandas call per
+    # partition — the reference vocabulary is ~600k nodes, far too many for
+    # per-key UDF dispatch). m1prop resolutions contribute node rows too.
+    node_rows = emissions.map_batches(
+        lambda t: _kept(t, "node", ["label", "name", "extra", "props"]),
+        batch_format="pyarrow") \
+        .union(resolved.map_batches(
+            lambda t: _kept(t, "node", ["label", "name", "extra", "props"]),
+            batch_format="pyarrow"))
+    nodes = group_partitioned(node_rows, ["label", "name"], merge_nodes_part,
+                              num_partitions=num_partitions).materialize()
 
     return KB(nodes=nodes, edges=edges, registry=registry,
               gazetteer_rows=gazetteer_rows, counters=counters)

@@ -38,13 +38,25 @@ print("only-o preds:", collections.Counter(p for _, p, _ in only_o))
 for e in sorted(only_e)[:5]: print("  E:", e)
 for e in sorted(only_o)[:5]: print("  O:", e)
 
-# nodes vs oracle
-gold_nodes = {(l, n, c) for l, n, c in oracle["nodes"].values()}
-eng_nodes = set(zip(nodes["label"], nodes["name"], nodes["canonical_id"]))
+# nodes vs oracle (incl. label union + props)
+gold_nodes = {(l, n, c, tuple(labels), props)
+              for l, n, c, labels, props in oracle["nodes"].values()}
+eng_nodes = set(zip(nodes["label"], nodes["name"], nodes["canonical_id"],
+                    (tuple(ls) for ls in nodes["labels"]), nodes["props"]))
 print("nodes eng:", len(eng_nodes), "gold:", len(gold_nodes),
       "diff:", len(eng_nodes ^ gold_nodes))
 for x in sorted(gold_nodes - eng_nodes)[:4]: print("  N-O:", x)
 for x in sorted(eng_nodes - gold_nodes)[:4]: print("  N-E:", x)
+
+# edge props vs oracle
+eng_eprops = {(s, p, o): pr for s, p, o, pr in
+              zip(edges["subj"], edges["pred"], edges["obj"], edges["props"])
+              if pr is not None}
+gold_eprops = oracle["edge_props"]
+same = sum(1 for k, v in eng_eprops.items() if gold_eprops.get(k) == v)
+print(f"edge props: eng {len(eng_eprops)} gold {len(gold_eprops)} equal {same}")
+for k in list(set(eng_eprops) ^ set(gold_eprops))[:4]:
+    print("  EP:", k, eng_eprops.get(k), "|", gold_eprops.get(k))
 
 # resume: rerun — everything should be skipped
 t2 = time.time()
