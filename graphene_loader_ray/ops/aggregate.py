@@ -161,3 +161,13 @@ def exact_dedup(ds: Dataset, keys: list[str],
     post-import-cypher.txt merge / Loader.groovy:397 Set<Rel>)."""
     return pre_aggregated_count(
         ds, keys, num_output_blocks=num_output_blocks).drop_columns(["support"])
+
+
+def distinct_values(ds: Dataset, col: str,
+                    num_output_blocks: int | None = 2) -> Dataset:
+    """Distinct values of one column — the A3 'distinct label set' surface
+    (Importer.groovy:57-59,141: labels collected for index creation).
+    Combiner-first (each block contributes ≤ its distinct count to the
+    shuffle), unlike ``Dataset.unique`` which materializes to the driver."""
+    return exact_dedup(ds.select_columns([col]), [col],
+                       num_output_blocks=num_output_blocks)

@@ -28,7 +28,6 @@ from ray.data.aggregate import Count, Sum
 
 from ..ops.dedup import (embedding_neardup_pairs, exact_text_dedup,
                          minhash_dedup_pairs, simhash_signatures)
-from ..ops.join import equi_join
 from ..ops.relational import (add_time_bucket, asof_join, attach_broadcast,
                               sessionize)
 from ..ops.similarity import knn_brute, knn_ivf, knn_lsh
@@ -119,25 +118,63 @@ def mktsegment_order_stats(sf_dir: str):
 
 
 def revenue_by_priority(sf_dir: str):
-    """Large-large shuffle join with pre-aggregation (combiner before the
-    join, SURVEY.md §4 skew guidance)."""
+    """Large-large join + aggregate in ONE shuffle: both r1 shuffles keyed
+    on o_orderkey (the per-order pre-aggregation and the tag-union join),
+    so they fold into a single hash-partitioned pass — per partition, sum
+    lineitem revenue per order, inner-merge with the orders rows hashed to
+    the same partition, and emit per-priority PARTIALS; the final reduce
+    over P×5 partial rows is metadata-scale (VERDICT r1 task 8: halves the
+    shuffle volume at any scale)."""
+    import pandas as pd
+
+    from ..ops.partition import group_partitioned
+
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev(t: pa.Table) -> pa.Table:
+    def rev_partial(t: pa.Table) -> pa.Table:
+        """In-batch combiner: one row per orderkey per batch."""
         r = pc.multiply(_cents(t["l_extendedprice"]),
                         pc.subtract(pa.scalar(100, pa.int64()),
                                     _cents(t["l_discount"])))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": r})
+        g = pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": r}) \
+            .group_by("o_orderkey").aggregate([("rev_e4", "sum")])
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rev_e4": g["rev_e4_sum"],
+                         "o_orderpriority": pa.nulls(g.num_rows, pa.string())})
 
-    per_order = li.map_batches(rev, batch_format="pyarrow") \
-        .groupby("o_orderkey").aggregate(Sum("rev_e4", alias_name="rev_e4")) \
-        .repartition(8)
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    joined = equi_join(orders, per_order, ["o_orderkey"])
-    out = joined.groupby("o_orderpriority") \
-        .aggregate(Count(alias_name="n_orders"),
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "rev_e4": pa.nulls(t.num_rows, pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]}),
+            batch_format="pyarrow")
+    tagged = li.map_batches(rev_partial, batch_format="pyarrow",
+                            batch_size=65536).union(orders)
+
+    def join_agg_part(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({
+                "o_orderpriority": pd.Series(dtype=object),
+                "n_orders": pd.Series(dtype="int64"),
+                "rev_e4": pd.Series(dtype="int64")})
+        li_rows = part[part["o_orderpriority"].isna()]
+        o_rows = part[part["o_orderpriority"].notna()]
+        per_order = li_rows.groupby("o_orderkey", sort=False)["rev_e4"] \
+            .sum().astype("int64").reset_index()
+        merged = o_rows[["o_orderkey", "o_orderpriority"]] \
+            .merge(per_order, on="o_orderkey", how="inner")
+        return merged.groupby("o_orderpriority", sort=False) \
+            .agg(n_orders=("o_orderkey", "size"),
+                 rev_e4=("rev_e4", "sum")).reset_index()
+
+    partials = group_partitioned(tagged, ["o_orderkey"], join_agg_part,
+                                 num_partitions=8)
+    out = partials.groupby("o_orderpriority") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("rev_e4", alias_name="rev_e4"))
+
     def finish(t: pa.Table) -> pa.Table:
         e4 = np.asarray(t["rev_e4"].to_pylist(), dtype=np.int64)
         cents = (e4 + 50) // 100                 # round half-up, exact ints
@@ -261,6 +298,14 @@ def user_sessions(sf_dir: str):
 
 # ------------------------------------------------------ training-data suite
 
+def distinct_segments(sf_dir: str):
+    """Distinct-value surface (A3 distinct label set, Importer.groovy:57-59)
+    over a driver table so the op gets a DuckDB-green row."""
+    from ..ops.aggregate import distinct_values
+    return distinct_values(_read(sf_dir, "customer", columns=["c_mktsegment"]),
+                           "c_mktsegment")
+
+
 def dedup_exact(sf_dir: str):
     return exact_text_dedup(_read(sf_dir, "documents",
                                   columns=["doc_id", "text"]))
@@ -381,6 +426,7 @@ QUERIES = {
     "user_hourly_clicks": user_hourly_clicks,
     "purchase_asof_click": purchase_asof_click,
     "user_sessions": user_sessions,
+    "distinct_segments": distinct_segments,
     "dedup_exact": dedup_exact,
     "text_stats": text_statistics,
     "text_quality": text_quality,
@@ -480,6 +526,9 @@ ORACLE_SQL = {
                              OR epoch(ts) - epoch(prev_ts) > 1800
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM e GROUP BY user_id
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
