@@ -404,14 +404,16 @@ def kg_mentions(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Opaque-binary decode + feature plumbing over the synthetic pages."""
+    """Real structural image decode (PNG/JPEG/GIF headers) + feature
+    plumbing over the synthetic image payloads; corrupt payloads land on
+    the quarantine path (ok=False)."""
     from ..sources.synth import synthesize
     from ..stages.multimodal import decode_payloads, extract_features
 
     fixture = synthesize(n_pages=400)
-    pages = rd.read_parquet(os.path.join(fixture, "pages"),
-                            columns=["url", "html"])
-    return extract_features(decode_payloads(pages))
+    images = rd.read_parquet(os.path.join(fixture, "images.parquet"),
+                             columns=["url", "payload"])
+    return extract_features(decode_payloads(images))
 
 
 # ------------------------------------------------------------------ wiring

@@ -485,9 +485,69 @@ def build_pages(vocab: SynthResult, n_pages: int, seed: int = SEED) -> pa.Table:
     })
 
 
+# ------------------------------------------------------------------ images
+# Real (structurally valid) image payloads for the multimodal decode stage:
+# PNGs are fully valid files (zlib IDAT, correct CRCs); JPEGs carry a real
+# SOI/APP0/SOF0 marker sequence; GIFs a real logical screen descriptor.
+# 1-in-13 payloads are corrupted (truncated / signature-broken) to exercise
+# the quarantine path.
+
+def _png_bytes(w: int, h: int, seed: int) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)   # 8-bit grayscale
+    raw = b"".join(
+        b"\x00" + bytes(((seed + 31 * r + c) % 256) for c in range(w))
+        for r in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _jpeg_bytes(w: int, h: int) -> bytes:
+    import struct
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof0 = (b"\xff\xc0" + struct.pack(">HBHH", 11, 8, h, w)
+            + b"\x01\x01\x11\x00")
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(w: int, h: int) -> bytes:
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
+
+
+def build_images(n_images: int, seed: int = SEED) -> pa.Table:
+    urls, payloads, kinds = [], [], []
+    for i in range(n_images):
+        w = 8 + (i * 7) % 120
+        h = 8 + (i * 13) % 90
+        kind = ("png", "jpeg", "gif")[i % 3]
+        if kind == "png":
+            payload = _png_bytes(w, h, seed + i)
+        elif kind == "jpeg":
+            payload = _jpeg_bytes(w, h)
+        else:
+            payload = _gif_bytes(w, h)
+        if i % 13 == 12:                      # corrupt → quarantine
+            payload = payload[:5] if i % 2 else b"\x89PNGnope" + payload[8:]
+            kind = "corrupt"
+        urls.append(f"https://img.example/i/{i}.{kind}")
+        payloads.append(payload)
+        kinds.append(kind)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "kind": pa.array(kinds, pa.string())})
+
+
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 2
+_FIXTURE_VERSION = 3
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -509,6 +569,8 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
     vocab = build_vocab(n_genes=n_genes, seed=seed)
     for name, tbl in vocab.tables.items():
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"))
+    pq.write_table(build_images(max(64, n_pages // 4), seed=seed),
+                   os.path.join(tmp, "images.parquet"))
     pages = build_pages(vocab, n_pages, seed=seed)
     n_files = max(1, min(n_page_files, n_pages // 50 or 1))
     step = (pages.num_rows + n_files - 1) // n_files

@@ -124,6 +124,39 @@ def link(extracted: Dataset, gaz_rows_ref, canon_ref,
         concurrency=concurrency, num_cpus=num_cpus)
 
 
+class ExtractLinkActor(LinkerActor):
+    """FUSED extract+link: one actor stage over raw pages instead of a
+    task-stage (extract) feeding an actor-stage (link).
+
+    Why: the r1 control ladder (BASELINE.md) showed a third of pages-stage
+    throughput at 28 workers lost to Ray Data per-task machinery — two
+    stages mean twice the task dispatches and an intermediate text block
+    per batch through the object store. Fusing halves the per-batch fixed
+    cost and never materializes the extracted text at all (html in →
+    aggregate rows out). `extract()` remains the standalone stage (its
+    byte-identical-text contract is pinned by tests; the fused path calls
+    the same extract_text per row)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import extract_text
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        slim = pa.table({
+            "text": pa.array(texts, pa.large_string()),
+            "ok": pa.array([t is not None for t in texts], pa.bool_())})
+        return super().__call__(slim)
+
+
+def link_pages(pages: Dataset, gaz_rows_ref, canon_ref,
+               batch_size: int = 16384,
+               concurrency: tuple[int, int] | int = (1, 8),
+               num_cpus: float = 1.0) -> Dataset:
+    """Raw pages (url, html, …) -> LINKED_SCHEMA aggregates, fused."""
+    return pages.map_batches(
+        ExtractLinkActor, fn_constructor_args=(gaz_rows_ref, canon_ref),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=num_cpus)
+
+
 def triples_only(linked: Dataset) -> Dataset:
     """(subj, pred, obj, n) batch partials for the triple dedup."""
     return linked.map_batches(

@@ -309,27 +309,61 @@ def test_asof_join_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(out, gold, check_dtype=False)
 
 
-def test_multimodal_stub(smoke_fixture_dir):
+def test_image_header_parser():
+    """Dims derive from ACTUAL payload structure (PNG IHDR, JPEG SOFn
+    marker scan, GIF screen descriptor); corrupt/truncated payloads are
+    rejected, not mis-parsed."""
+    from graphene_loader_ray.sources.synth import (_gif_bytes, _jpeg_bytes,
+                                                   _png_bytes)
+    from graphene_loader_ray.stages.multimodal import parse_image_header
+
+    assert parse_image_header(_png_bytes(120, 45, 1)) == ("png", 120, 45)
+    assert parse_image_header(_jpeg_bytes(640, 480)) == ("jpeg", 640, 480)
+    assert parse_image_header(_gif_bytes(31, 7)) == ("gif", 31, 7)
+    # PIL/file(1) agree: dims live exactly where we read them — verify the
+    # PNG round-trips through an independent decoder when available
+    try:
+        import io
+
+        import PIL.Image
+        img = PIL.Image.open(io.BytesIO(_png_bytes(120, 45, 1)))
+        assert img.size == (120, 45)
+    except ImportError:
+        pass
+    assert parse_image_header(b"") is None
+    assert parse_image_header(_png_bytes(9, 9, 0)[:5]) is None   # truncated
+    assert parse_image_header(b"\x89PNGnope" + b"\x00" * 32) is None
+    assert parse_image_header(b"\xff\xd8\xff\xd9") is None       # no SOF
+    assert parse_image_header(b"plain text payload") is None
+
+
+def test_multimodal_decode_pipeline(smoke_fixture_dir):
     import ray.data as rd
 
     from graphene_loader_ray.stages.multimodal import (FEATURE_DIM,
                                                        decode_payloads,
                                                        extract_features)
 
-    pages = rd.read_parquet(smoke_fixture_dir + "/pages",
-                            columns=["url", "html"])
-    out = extract_features(decode_payloads(pages)).to_pandas()
-    assert len(out) == pages.count()
-    assert out["ok"].all()                       # html payloads all non-empty
-    assert (out["width"] >= 64).all() and (out["width"] < 256).all()
+    images = rd.read_parquet(smoke_fixture_dir + "/images.parquet")
+    kinds = dict(zip(
+        images.to_pandas()["url"], images.to_pandas()["kind"]))
+    out = extract_features(
+        decode_payloads(images.select_columns(["url", "payload"]))
+    ).to_pandas()
+    assert len(out) == len(kinds)
+    for _, row in out.iterrows():
+        kind = kinds[row["url"]]
+        if kind == "corrupt":
+            assert not row["ok"] and row["width"] == 0
+        else:
+            assert row["ok"] and row["format"] == kind
+            assert row["width"] > 0 and row["height"] > 0
+    assert (~out["ok"]).sum() >= 1               # quarantine path exercised
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
-    # deterministic: re-run produces identical features
-    out2 = extract_features(decode_payloads(pages)).to_pandas()
+    # deterministic re-run
+    out2 = extract_features(
+        decode_payloads(images.select_columns(["url", "payload"]))
+    ).to_pandas()
     a = out.sort_values("url").reset_index(drop=True)
     b = out2.sort_values("url").reset_index(drop=True)
-    assert (a["payload_sha256"] == b["payload_sha256"]).all()
-
-    # empty payload -> quarantined row, not a crash
-    empty = rd.from_items([{"url": "u0", "html": b""}])
-    q = decode_payloads(empty).to_pandas()
-    assert not q["ok"].iloc[0]
+    assert (a["payload_sha256"].fillna("") == b["payload_sha256"].fillna("")).all()
