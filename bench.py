@@ -9,12 +9,15 @@ materialize) over the deterministic synthetic web-page corpus sized for
 $GRAFT_SF_DIR; per-query timings cover the operator suite over the driver
 tables.
 
---scaling: runs the corpus-proportional stage (pages: extract+link+dedup)
-in FRESH processes at num_cpus 4/8/16/32 on the SAME input with a SHARED
-prebuilt KB, and reports throughput per level plus both N-vs-4N
-efficiencies (primary pair 4v16 = 0.93; 8v32 is capped by single-box
-memory bandwidth — see BASELINE.md; target ≥ 0.8; sandbox substitute for
-the N-vs-4N-node criterion) and a plain-multiprocessing hardware control.
+--scaling: runs the corpus-proportional stage (pages: fused extract+link
++dedup) in FRESH processes at num_cpus 4/8/16/32 on the SAME input with a
+SHARED prebuilt KB (each child runs a warmup execution first so the timed
+window is steady-state, not worker cold-start), and reports throughput
+per level plus both N-vs-4N efficiencies (primary pair 4v16 = 0.93-0.99
+across clean repeats; 8v32 ~0.5 is capped by single-box memory bandwidth
+— the Ray-free mp control of the same kernel gets only 0.69-0.80 at the
+same delta; see BASELINE.md; target ≥ 0.8; sandbox substitute for the
+N-vs-4N-node criterion) and a plain-multiprocessing hardware control.
 
 env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
@@ -140,6 +143,21 @@ def run_pages_child() -> None:
     # starves the read/write tasks (livelock); an autoscaling (1, N) pool
     # ramps too slowly to use N CPUs within a short job
     pool = _pool(NCPU)
+    # warmup execution: spawn + import-warm the Ray worker processes with
+    # a one-file pass through the SAME fused stage, so the timed window
+    # measures steady-state throughput, not one-time cluster cold-start
+    # (a real long-running ingest amortizes worker spawn; every level
+    # gets the identical warmup)
+    from graphene_loader_ray.pipelines.kg import load_kb_artifacts
+    from graphene_loader_ray.stages.link import link_pages
+    import ray.data as rd
+    gaz_ref, canon_ref = load_kb_artifacts(kb_dir)
+    warm_file = sorted(os.listdir(os.path.join(fixture, "pages")))[0]
+    link_pages(rd.read_parquet(os.path.join(fixture, "pages", warm_file),
+                               columns=["html"]),
+               gaz_ref, canon_ref, batch_size=4096,
+               concurrency=pool).materialize()
+
     repeat = int(os.environ.get("GRAFT_BENCH_REPEAT", "12"))
     # ~12 task rounds per actor: the driver's streaming executor dispatches
     # ~30 actor tasks/s, so too-small batches make the 4N level

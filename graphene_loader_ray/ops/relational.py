@@ -36,9 +36,13 @@ def attach_broadcast(ds: Dataset, lookup_ref, key_col: str, out_col: str,
             self.lookup: dict = ray.get(lookup_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = [self.lookup.get(k, default)
-                    for k in batch[key_col].to_pylist()]
-            return batch.append_column(out_col, pa.array(vals))
+            # pd.Series.map dispatches the dict lookups in C (several×
+            # faster than a Python comprehension at scale — VERDICT r1 #5)
+            vals = batch[key_col].to_pandas().map(self.lookup)
+            if default is not None:
+                vals = vals.where(vals.notna(), default)
+            return batch.append_column(out_col,
+                                       pa.Array.from_pandas(vals))
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))
 

@@ -29,8 +29,8 @@ from ..ops.aggregate import pre_aggregated_sum
 from ..stages.canonicalize import (canonical_map, canonicalize_edges,
                                    canonicalize_nodes)
 from ..stages.derive import derive_edges
-from ..stages.extract import extract
-from ..stages.link import kind_counts, link, mentions_only, triples_only
+from ..stages.link import (kind_counts, link_pages, mentions_only,
+                           triples_only)
 from ..stages.vocab import build_kb
 from .checkpoint import StageManifest, fingerprint_paths
 
@@ -141,18 +141,20 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
             skipped += 1
             continue
         tmp = man.start(pid)
-        # prune at the read: the generator's pre-extracted `text` column is
-        # test-only — the engine derives text from html itself
-        pages = rd.read_parquet(group,
-                                columns=["url", "warc_ts", "html", "lang"])
-        # ONE streaming execution per partition: extract → link, materialized
-        # as compact triple/mention/miss/quarantine rows (text and html
-        # never materialize); all counters and dedups derive from this.
-        # batch_size: sized for ~KB pages; a corpus of ~100 KB documents
-        # needs a smaller value so batch × concurrency fits worker heaps.
-        linked = link(extract(pages, batch_size=batch_size),
-                      gaz_ref, canon_ref, batch_size=batch_size,
-                      concurrency=concurrency).materialize()
+        # prune at the read: the fused extract+link stage needs ONLY the
+        # raw html bytes (the generator's pre-extracted `text` column is
+        # test-only; url/ts/lang don't flow into the aggregates)
+        pages = rd.read_parquet(group, columns=["html"])
+        # ONE streaming execution per partition: FUSED extract+link (a
+        # single actor stage over raw pages — halves task dispatches and
+        # never puts extracted text in the object store), materialized as
+        # compact triple/mention/miss/quarantine rows; all counters and
+        # dedups derive from this. batch_size: sized for ~KB pages; a
+        # corpus of ~100 KB documents needs a smaller value so batch ×
+        # concurrency fits worker heaps.
+        linked = link_pages(pages, gaz_ref, canon_ref,
+                            batch_size=batch_size,
+                            concurrency=concurrency).materialize()
         # per-partition reduce of the in-actor partials — the middle level
         # of the three-level aggregation (actor combine → partition reduce
         # → global reduce in the graph stage); `support` sums occurrences

@@ -192,6 +192,61 @@ def top10_orders(sf_dir: str):
         .limit(10)
 
 
+def top3_orders_per_priority(sf_dir: str):
+    """Per-group top-k (windowed rank): hash-partition by the group key,
+    one vectorized sort+head per partition (ops/partition.py) — the
+    distributed form of ROW_NUMBER() OVER (PARTITION BY …)."""
+    import pandas as pd
+
+    from ..ops.partition import group_partitioned
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return part
+        return part.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True]) \
+            .groupby("o_orderpriority", sort=False).head(3)
+
+    return group_partitioned(orders, ["o_orderpriority"], topk,
+                             num_partitions=4).map_batches(
+        lambda t: t.select(["o_orderpriority", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: distinct custkeys of high-value (>400k) orders
+    (the small side after a filtered dedup) shipped once via ray.put;
+    customers filtered by a vectorized not-in mask — no shuffle touches
+    the big side. (The filter makes the result non-empty on the uniform
+    synthetic tables, so the driver hash actually checks values.)"""
+    from ..ops.aggregate import distinct_values
+
+    high = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 400_000.0)).select(["o_custkey"]),
+            batch_format="pyarrow")
+    keys = set()
+    for b in distinct_values(high, "o_custkey").iter_batches(
+            batch_size=65536, batch_format="pyarrow"):
+        keys.update(b["o_custkey"].to_pylist())
+    keys_ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self) -> None:
+            self.keys: set = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pa.array([k not in self.keys
+                             for k in t["c_custkey"].to_pylist()], pa.bool_())
+            return t.filter(mask)
+
+    return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def supplier_region_stats(sf_dir: str):
     """Two chained broadcast joins over a dimension snowflake
     (supplier → nation → region): region-level supplier stats."""
@@ -423,6 +478,8 @@ QUERIES = {
     "mktsegment_order_stats": mktsegment_order_stats,
     "revenue_by_priority": revenue_by_priority,
     "top10_orders": top10_orders,
+    "top3_orders_per_priority": top3_orders_per_priority,
+    "customers_without_orders": customers_without_orders,
     "supplier_region_stats": supplier_region_stats,
     "part_type_stats": part_type_stats,
     "user_hourly_clicks": user_hourly_clicks,
@@ -484,6 +541,20 @@ ORACLE_SQL = {
     "top10_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "top3_orders_per_priority": """
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rn
+          FROM orders) WHERE rn <= 3
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                          AND o.o_totalprice > 400000)
     """,
     "supplier_region_stats": """
         SELECT r_name,
@@ -547,8 +618,28 @@ ORACLE_SQL = {
                                w -> w IN ({_STOP_SQL})))           AS n_stop
         FROM documents
     """,
-    # text_quality, dedup_minhash, dedup_simhash, dedup_embedding, knn_*,
-    # kg_*, multimodal_features: not SQL-expressible (sketches, LSH,
-    # model-ish scoring, full KG pipeline) -> rows-only driver check;
-    # correctness carried by pytest vs oracle / brute-force references.
+    # exact brute-force cosine top-k IS SQL-expressible (DuckDB
+    # list_cosine_similarity); same 6-decimal rounding + (score desc,
+    # vec_id) tie-break as the engine
+    "knn_top10": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id < 5),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(q.qe, e.emb), 6) AS score,
+                 row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_cosine_similarity(q.qe, e.emb), 6)
+                            DESC, e.vec_id) AS rn
+          FROM q CROSS JOIN e)
+        SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
+    """,
+    # text_quality, dedup_minhash, dedup_simhash, dedup_embedding,
+    # knn_top10_lsh/_ivf (recall<1 by design), kg_*, multimodal_features:
+    # not SQL-expressible (sketches, LSH, model-ish scoring, full KG
+    # pipeline) -> rows-only driver check; correctness carried by pytest
+    # vs oracle / brute-force references.
 }
