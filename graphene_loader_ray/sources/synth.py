@@ -547,7 +547,7 @@ def build_images(n_images: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 3
+_FIXTURE_VERSION = 4
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -571,6 +571,13 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"))
     pq.write_table(build_images(max(64, n_pages // 4), seed=seed),
                    os.path.join(tmp, "images.parquet"))
+    # the reference's ACTUAL input shape: the reactome side as a MySQL
+    # dump (LoadMysqlDump.groovy) — written alongside the parquet twins so
+    # the dump reader can be equivalence-tested against them
+    from .mysql_dump import write_mysql_dump
+    write_mysql_dump({"vocab_objects": vocab.tables["vocab_objects"],
+                      "vocab_edges": vocab.tables["vocab_edges"]},
+                     os.path.join(tmp, "reactome_dump.sql"))
     pages = build_pages(vocab, n_pages, seed=seed)
     n_files = max(1, min(n_page_files, n_pages // 50 or 1))
     step = (pages.num_rows + n_files - 1) // n_files
