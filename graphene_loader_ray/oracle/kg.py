@@ -601,6 +601,7 @@ def run_oracle(fixture_dir: str) -> dict:
     text_hashes: dict[str, str | None] = {}
     page_triples: set[tuple[str, str, str]] = set()
     mentions: dict[str, int] = {}
+    miss_counts: dict[tuple[str, str], int] = {}
     n_miss = 0
     for row in pages.to_pylist():
         text = extract_text(row["html"])
@@ -610,6 +611,9 @@ def run_oracle(fixture_dir: str) -> dict:
             continue
         triples, misses = link_paragraphs(text, gaz, canonical)
         n_miss += len(misses)
+        for surface, role in misses:
+            miss_counts[(surface, role)] = miss_counts.get((surface, role),
+                                                           0) + 1
         for s, p, o, _conf in triples:
             page_triples.add((s, p, o))
         # full-text mention scan (A4 frequency analysis), canonical ids
@@ -630,6 +634,7 @@ def run_oracle(fixture_dir: str) -> dict:
         "triples": kb_triples | page_triples,
         "text_hashes": text_hashes,
         "mentions": mentions,
+        "miss_counts": miss_counts,
         "counters": dict(kg.counters),
         "gazetteer": gaz,
     }

@@ -30,7 +30,7 @@ from ..stages.canonicalize import (canonical_map, canonicalize_edges,
                                    canonicalize_nodes)
 from ..stages.derive import derive_edges
 from ..stages.link import (kind_counts, link_pages, mentions_only,
-                           triples_only)
+                           misses_only, triples_only)
 from ..stages.vocab import build_kb
 from .checkpoint import StageManifest, fingerprint_paths
 
@@ -165,6 +165,13 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
         pre_aggregated_sum(mentions_only(linked), ["node_key"], "n",
                            num_output_blocks=4) \
             .write_parquet(os.path.join(tmp, "mentions"))
+        # unlinkable-surface partials — the quarantine SIDE TABLE (the
+        # reference only log-lines these, Loader.groovy:414-427; a
+        # queryable table is what an operator actually needs to grow the
+        # vocabulary)
+        pre_aggregated_sum(misses_only(linked), ["surface", "role"], "n",
+                           num_output_blocks=4) \
+            .write_parquet(os.path.join(tmp, "misses"))
         counts = kind_counts(linked)
         man.commit(pid, fp, counters={
             "pages": pages.count(),      # parquet metadata, no read
@@ -228,6 +235,18 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
                            num_output_blocks=4) \
             .sort(["node_key"]) \
             .write_parquet(os.path.join(tmp, "mentions"))
+    # quarantine reduce: per-(surface, role) unlinkable-mention counts
+    miss_parts = [rd.read_parquet(os.path.join(d, "misses"))
+                  for d in tr_man.completed_dirs()
+                  if os.path.isdir(os.path.join(d, "misses"))]
+    if miss_parts:
+        m = miss_parts[0]
+        for p in miss_parts[1:]:
+            m = m.union(p)
+        pre_aggregated_sum(m, ["surface", "role"], "n", out_col="n_misses",
+                           num_output_blocks=2) \
+            .sort(["surface", "role"]) \
+            .write_parquet(os.path.join(tmp, "misses"))
     man.commit("all", fp)
     return {"dir": pdir, "skipped": False}
 

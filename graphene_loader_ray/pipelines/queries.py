@@ -458,6 +458,13 @@ def kg_mentions(sf_dir: str):
     return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "mentions"))
 
 
+def kg_misses(sf_dir: str):
+    """Quarantine side table: per-(surface, role) unlinkable-mention
+    counts (C4 deferred-edge drop policy upgraded from log lines to a
+    queryable output)."""
+    return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "misses"))
+
+
 def multimodal_features(sf_dir: str):
     """Real structural image decode (PNG/JPEG/GIF headers) + feature
     plumbing over the synthetic image payloads; corrupt payloads land on
@@ -498,6 +505,7 @@ QUERIES = {
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_mentions": kg_mentions,
+    "kg_misses": kg_misses,
     "multimodal_features": multimodal_features,
 }
 

@@ -131,6 +131,18 @@ def test_mention_counts_match_oracle(pipeline_result, oracle_result):
     assert any("[cytosol]" in k for k in top)
 
 
+def test_miss_surfaces_match_oracle(pipeline_result, oracle_result):
+    """The quarantine SIDE TABLE: per-(surface, role) unlinkable-mention
+    counts equal the oracle's (the reference only log-lines these,
+    Loader.groovy:414-427 — a queryable table is the upgrade)."""
+    t = pq.read_table(os.path.join(pipeline_result["graph_dir"], "misses"))
+    eng = {(s, r): n for s, r, n in
+           zip(t["surface"].to_pylist(), t["role"].to_pylist(),
+               t["n_misses"].to_pylist())}
+    assert eng == oracle_result["miss_counts"]
+    assert sum(eng.values()) == oracle_result["counters"]["unlinked_mentions"]
+
+
 def test_resume_skips_everything(pipeline_result, smoke_fixture_dir):
     from graphene_loader_ray.pipelines.kg import run_kg_pipeline
 
