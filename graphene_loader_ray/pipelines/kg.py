@@ -29,8 +29,8 @@ from ..ops.aggregate import pre_aggregated_sum
 from ..stages.canonicalize import (canonical_map, canonicalize_edges,
                                    canonicalize_nodes)
 from ..stages.derive import derive_edges
-from ..stages.link import (kind_counts, link_pages, mentions_only,
-                           misses_only, triples_only)
+from ..stages.link import (link_pages, mentions_only, misses_only,
+                           triples_only)
 from ..stages.vocab import build_kb
 from .checkpoint import StageManifest, fingerprint_paths
 
@@ -71,9 +71,10 @@ def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
 
     canonicalize_edges(all_edges, canon_ref, num_output_blocks=8) \
         .write_parquet(os.path.join(tmp, "edges"))
-    # node dedup BEFORE the canonical map is applied: To nodes reify once
-    # per witness — merge to one row per (label, name), uniting extra
-    # labels and props (vocab.merge_nodes_part)
+    # the ONE node-merge shuffle (D1 dedup + D2 label union + props merge)
+    # over raw emission rows ∪ reified To rows, before the canonical map
+    # is applied (vocab.merge_nodes_part; kb.nodes is deliberately
+    # unmerged so this runs exactly once)
     from ..ops.partition import group_partitioned
     from ..stages.vocab import merge_nodes_part
     all_nodes = group_partitioned(kb.nodes.union(to_nodes),
@@ -155,24 +156,20 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
         linked = link_pages(pages, gaz_ref, canon_ref,
                             batch_size=batch_size,
                             concurrency=concurrency).materialize()
-        # per-partition reduce of the in-actor partials — the middle level
-        # of the three-level aggregation (actor combine → partition reduce
-        # → global reduce in the graph stage); `support` sums occurrences
-        pre_aggregated_sum(triples_only(linked), ["subj", "pred", "obj"],
-                           "n", out_col="support", num_output_blocks=4) \
-            .write_parquet(os.path.join(tmp, "triples"))
-        # surface-frequency partials (A4 — head-entity/skew detection)
-        pre_aggregated_sum(mentions_only(linked), ["node_key"], "n",
-                           num_output_blocks=4) \
-            .write_parquet(os.path.join(tmp, "mentions"))
-        # unlinkable-surface partials — the quarantine SIDE TABLE (the
-        # reference only log-lines these, Loader.groovy:414-427; a
-        # queryable table is what an operator actually needs to grow the
-        # vocabulary)
-        pre_aggregated_sum(misses_only(linked), ["surface", "role"], "n",
-                           num_output_blocks=4) \
-            .write_parquet(os.path.join(tmp, "misses"))
-        counts = kind_counts(linked)
+        # ONE write of the in-actor partials (triple/mention/miss/
+        # quarantine rows together, already per-batch-aggregated) — the
+        # per-kind reduces run ONCE in the graph stage over all committed
+        # partitions instead of 3× per partition; a partition commit is
+        # 2 executions (materialize + write), which is what bounds the
+        # per-partition fixed cost at a 100 TB partition count
+        linked.write_parquet(os.path.join(tmp, "linked"))
+        # counters: driver pass over the (partial-aggregate-scale)
+        # materialized rows — no extra Dataset execution
+        counts: dict[str, int] = {}
+        for b in linked.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            for kind, n in zip(b["kind"].to_pylist(), b["n"].to_pylist()):
+                counts[kind] = counts.get(kind, 0) + n
         man.commit(pid, fp, counters={
             "pages": pages.count(),      # parquet metadata, no read
             "unlinked_mentions": int(counts.get("miss", 0)),
@@ -195,21 +192,35 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
 
     tmp = man.start("all")
     tr_man = StageManifest(outdir, "triples")
-    triple_dirs = [os.path.join(d, "triples") for d in tr_man.completed_dirs()]
+    # combined per-partition partials (triple/mention/miss rows together,
+    # already in-actor aggregated). override_num_blocks on every read
+    # here: these inputs are partial-aggregate-scale; Ray's default read
+    # fan-out would split each into ~200 near-empty blocks and the
+    # downstream union+shuffle goes O(blocks²) (CLAUDE.md Ray 2.49 quirk)
+    linked_dirs = [os.path.join(d, "linked") for d in tr_man.completed_dirs()]
+    lparts = [rd.read_parquet(d, override_num_blocks=2)
+              for d in linked_dirs if os.path.isdir(d)]
+    linked = None
+    if lparts:
+        linked = lparts[0]
+        for p in lparts[1:]:
+            linked = linked.union(p)
+
     _cols = ["subj", "pred", "obj", "support", "props"]
-    kb_edges = rd.read_parquet(os.path.join(kb_dir, "edges")) \
+    kb_edges = rd.read_parquet(os.path.join(kb_dir, "edges"),
+                               override_num_blocks=2) \
         .map_batches(lambda t: t.append_column(
             "support", pa.array([1] * t.num_rows, pa.int64())).select(_cols),
             batch_format="pyarrow")
-    # page triples carry no props — pad so the union schema is uniform
-    parts = [rd.read_parquet(d).map_batches(
-        lambda t: t.append_column(
-            "props", pa.nulls(t.num_rows, pa.string())).select(_cols),
-        batch_format="pyarrow")
-        for d in triple_dirs if os.path.isdir(d)]
     union = kb_edges
-    for p in parts:
-        union = union.union(p)
+    if linked is not None:
+        # page triples carry no props — pad so the union schema is uniform
+        union = union.union(triples_only(linked).map_batches(
+            lambda t: pa.table({
+                "subj": t["subj"], "pred": t["pred"], "obj": t["obj"],
+                "support": t["n"],
+                "props": pa.nulls(t.num_rows, pa.string())}),
+            batch_format="pyarrow"))
     # sum partial supports per triple + merge edge props (the reduce half
     # of the two-phase dedup; props exist only on the KB side)
     from ..ops.aggregate import dedup_merge_props
@@ -218,33 +229,19 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
         .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
     final_edges.sort(["subj", "pred", "obj"]) \
                .write_parquet(os.path.join(tmp, "edges"))
-    rd.read_parquet(os.path.join(kb_dir, "nodes")) \
+    rd.read_parquet(os.path.join(kb_dir, "nodes"), override_num_blocks=2) \
         .sort(["canonical_id", "label", "name"]) \
         .write_parquet(os.path.join(tmp, "nodes"))
-    # surface-frequency reduce: sum per-partition mention partials (A4);
-    # the head of this table is the salt/blacklist candidate list
-    mention_dirs = [os.path.join(d, "mentions")
-                    for d in tr_man.completed_dirs()]
-    mention_parts = [rd.read_parquet(d) for d in mention_dirs
-                     if os.path.isdir(d)]
-    if mention_parts:
-        m = mention_parts[0]
-        for p in mention_parts[1:]:
-            m = m.union(p)
-        pre_aggregated_sum(m, ["node_key"], "n", out_col="n_mentions",
-                           num_output_blocks=4) \
+    if linked is not None:
+        # surface-frequency reduce (A4); the head of this table is the
+        # salt/blacklist candidate list
+        pre_aggregated_sum(mentions_only(linked), ["node_key"], "n",
+                           out_col="n_mentions", num_output_blocks=4) \
             .sort(["node_key"]) \
             .write_parquet(os.path.join(tmp, "mentions"))
-    # quarantine reduce: per-(surface, role) unlinkable-mention counts
-    miss_parts = [rd.read_parquet(os.path.join(d, "misses"))
-                  for d in tr_man.completed_dirs()
-                  if os.path.isdir(os.path.join(d, "misses"))]
-    if miss_parts:
-        m = miss_parts[0]
-        for p in miss_parts[1:]:
-            m = m.union(p)
-        pre_aggregated_sum(m, ["surface", "role"], "n", out_col="n_misses",
-                           num_output_blocks=2) \
+        # quarantine reduce: per-(surface, role) unlinkable-mention counts
+        pre_aggregated_sum(misses_only(linked), ["surface", "role"], "n",
+                           out_col="n_misses", num_output_blocks=2) \
             .sort(["surface", "role"]) \
             .write_parquet(os.path.join(tmp, "misses"))
     man.commit("all", fp)

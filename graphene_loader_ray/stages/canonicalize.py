@@ -52,62 +52,58 @@ def _map_identity(col, mapping: dict) -> pa.Array:
                                 type=pa.string())
 
 
-class _MapEndpoints:
-    """Broadcast canonical dict; vectorized-dispatch per batch."""
-
-    def __init__(self, canon_ref) -> None:
-        self.canon: dict[str, str] = ray.get(canon_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.not_equal(batch["pred"], spec.REL_DATABASE_BRIDGE))
-        props = batch["props"] if "props" in batch.schema.names \
-            else pa.nulls(batch.num_rows, pa.string())
-        return pa.table({"subj": _map_identity(batch["subj"], self.canon),
-                         "pred": batch["pred"],
-                         "obj": _map_identity(batch["obj"], self.canon),
-                         "props": props})
+def _map_endpoints(batch: pa.Table, canon: dict) -> pa.Table:
+    """Endpoints through the broadcast canonical dict; bridges dropped."""
+    batch = batch.filter(
+        pc.not_equal(batch["pred"], spec.REL_DATABASE_BRIDGE))
+    props = batch["props"] if "props" in batch.schema.names \
+        else pa.nulls(batch.num_rows, pa.string())
+    return pa.table({"subj": _map_identity(batch["subj"], canon),
+                     "pred": batch["pred"],
+                     "obj": _map_identity(batch["obj"], canon),
+                     "props": props})
 
 
 def canonicalize_edges(edges: Dataset, canon_ref,
                        num_output_blocks: int = 8) -> Dataset:
     """Map endpoints to canonical ids, drop bridges, dedup (D4). Edges
     collapsing onto one canonical (subj, pred, obj) merge their props with
-    the commutative rule (kb/spec.py:merge_props)."""
+    the commutative rule (kb/spec.py:merge_props). Plain tasks (KB-scale
+    input — corpus-side canonicalization happens inside the linker
+    actors); ray.get of the broadcast dict is a local object-store hit."""
     from ..ops.aggregate import dedup_merge_props
-    mapped = edges.map_batches(_MapEndpoints, fn_constructor_args=(canon_ref,),
-                               batch_format="pyarrow", concurrency=(1, 4))
+    mapped = edges.map_batches(
+        lambda t, ref=canon_ref: _map_endpoints(t, ray.get(ref)),
+        batch_format="pyarrow")
     return dedup_merge_props(mapped, ["subj", "pred", "obj"],
                              num_partitions=num_output_blocks)
 
 
-class _NodeCanon:
-    def __init__(self, canon_ref) -> None:
-        self.canon: dict[str, str] = ray.get(canon_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        # node key "N:{label}:{name}" built vectorized, then mapped with
-        # identity fallback
-        keys = pc.binary_join_element_wise(
-            pa.array(["N"] * batch.num_rows), batch["label"].combine_chunks(),
-            batch["name"].combine_chunks(), ":")
-        canon = _map_identity(keys, self.canon)
-        # labels = primary + extras, primary first (Importer.groovy
-        # setLabels puts the caching label first; extras sorted for
-        # determinism) — the D2 label union, now EMITTED in the output
-        labels = [[l] + sorted(set(e or []) - {l}) for l, e in
-                  zip(batch["label"].to_pylist(), batch["extra"].to_pylist())]
-        props = batch["props"] if "props" in batch.schema.names \
-            else pa.nulls(batch.num_rows, pa.string())
-        return pa.table({"canonical_id": canon,
-                         "label": batch["label"], "name": batch["name"],
-                         "labels": pa.array(labels, pa.list_(pa.string())),
-                         "props": props})
+def _node_canon(batch: pa.Table, canon: dict) -> pa.Table:
+    # node key "N:{label}:{name}" built vectorized, then mapped with
+    # identity fallback
+    keys = pc.binary_join_element_wise(
+        pa.array(["N"] * batch.num_rows), batch["label"].combine_chunks(),
+        batch["name"].combine_chunks(), ":")
+    canon_ids = _map_identity(keys, canon)
+    # labels = primary + extras, primary first (Importer.groovy
+    # setLabels puts the caching label first; extras sorted for
+    # determinism) — the D2 label union, now EMITTED in the output
+    labels = [[l] + sorted(set(e or []) - {l}) for l, e in
+              zip(batch["label"].to_pylist(), batch["extra"].to_pylist())]
+    props = batch["props"] if "props" in batch.schema.names \
+        else pa.nulls(batch.num_rows, pa.string())
+    return pa.table({"canonical_id": canon_ids,
+                     "label": batch["label"], "name": batch["name"],
+                     "labels": pa.array(labels, pa.list_(pa.string())),
+                     "props": props})
 
 
 def canonicalize_nodes(nodes: Dataset, canon_ref) -> Dataset:
     """(label, name, extra, props) -> (canonical_id, label, name,
     labels, props); one row per node, merged nodes share a canonical_id;
-    `labels` is the full label union (D2)."""
-    return nodes.map_batches(_NodeCanon, fn_constructor_args=(canon_ref,),
-                             batch_format="pyarrow", concurrency=(1, 4))
+    `labels` is the full label union (D2). Task-based (vocab-scale
+    input)."""
+    return nodes.map_batches(
+        lambda t, ref=canon_ref: _node_canon(t, ray.get(ref)),
+        batch_format="pyarrow")

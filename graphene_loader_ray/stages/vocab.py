@@ -341,20 +341,29 @@ def _parse_gene(em: _Emitter, t: dict,
 # --------------------------------------------------------------- resolution
 
 class ResolveRefs:
-    """Actor-pool resolver: broadcast registry dict, per-batch lookups.
-    Misses become 'miss' rows (Loader.groovy:414-427 log-and-drop,
-    upgraded to queryable counters)."""
+    """Resolver against the broadcast registry dict; misses become 'miss'
+    rows (Loader.groovy:414-427 log-and-drop, upgraded to queryable
+    counters).
+
+    Used as plain TASKS over the vocab-scale ref rows (see build_kb) —
+    an actor pool's spin-up costs more than the whole resolution at this
+    scale; the class form remains for reference-scale vocabularies where
+    per-actor registry residency pays off."""
 
     def __init__(self, registry_ref) -> None:
         self.reg: dict[tuple[str, str], str] = ray.get(registry_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.resolve(batch, self.reg)
+
+    @staticmethod
+    def resolve(batch: pa.Table, reg: dict) -> pa.Table:
         em = _Emitter()
         for row in batch.to_pylist():
             kind = row["kind"]
             if kind == "edge_ids":
-                s = self.reg.get(("reactome", row["subj"]))
-                o = self.reg.get(("reactome", row["obj"]))
+                s = reg.get(("reactome", row["subj"]))
+                o = reg.get(("reactome", row["obj"]))
                 if s is None or o is None:
                     em.rows.append({**_EMPTY, "kind": "miss",
                                     "pred": row["pred"], "source": "reactome"})
@@ -367,8 +376,8 @@ class ResolveRefs:
                 # source node gains `<col>Name` = target's display name.
                 # A dangling side emits nothing extra — the companion
                 # edge_ids row already counted the dangling edge.
-                s = self.reg.get(("reactome", row["subj"]))
-                o = self.reg.get(("reactome", row["obj"]))
+                s = reg.get(("reactome", row["subj"]))
+                o = reg.get(("reactome", row["obj"]))
                 if s is not None and o is not None:
                     _, s_label, s_name = s.split(":", 2)
                     o_name = o.split(":", 2)[2]
@@ -378,7 +387,7 @@ class ResolveRefs:
                         "props": spec.props_json(
                             {spec.m1_prop_name(row["pred"]): o_name})})
             else:  # ref
-                target = self.reg.get((row["source"], row["ext_id"]))
+                target = reg.get((row["source"], row["ext_id"]))
                 if target is None:
                     # gene-identifier bridges probe several registries and the
                     # GO bridge probes every term; a miss is expected, not an
@@ -453,8 +462,11 @@ def merge_nodes_part(part: pd.DataFrame) -> pd.DataFrame:
 
 @dataclass
 class KB:
-    nodes: Dataset                 # (label, name, extra)
-    edges: Dataset                 # (subj, pred, obj) — deduped, pre-derive
+    # RAW node emission rows (label, name, extra, props) — NOT yet merged;
+    # the caller runs ONE merge_nodes_part pass after unioning any derived
+    # node rows (one shuffle instead of two at vocab scale)
+    nodes: Dataset
+    edges: Dataset                 # (subj, pred, obj, props) — deduped, pre-derive
     registry: dict                 # (source, ext_id) -> node_key
     gazetteer_rows: list = field(default_factory=list)  # (surface, key, is_primary)
     counters: dict = field(default_factory=dict)
@@ -548,11 +560,13 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     from ..ops.partition import group_partitioned
 
     # materialized: consumed thrice (edge union + m1prop node rows + miss
-    # counters) — without this the resolver actor pool would spin up and
-    # re-resolve per consumer
+    # counters). Plain tasks, not an actor pool: the ref rows are
+    # vocab-scale (a handful of blocks), so pool spin-up would dominate;
+    # ray.get of the broadcast registry inside the task is a local
+    # object-store hit
     resolved = refs.union(maptaxon_refs).map_batches(
-        ResolveRefs, fn_constructor_args=(registry_ref,),
-        batch_format="pyarrow", concurrency=(1, 4)).materialize()
+        lambda t, ref=registry_ref: ResolveRefs.resolve(t, ray.get(ref)),
+        batch_format="pyarrow").materialize()
 
     _ecols = ["subj", "pred", "obj", "props"]
     direct_edges = emissions.map_batches(
@@ -581,18 +595,15 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
     for r in miss_df.itertuples():
         counters[f"dangling_edge:{r.source}:{r.pred}"] += 1
 
-    # node dedup (D1 canonicalization shuffle) with label union (D2) and
-    # commutative props merge; hash-partitioned (one pandas call per
-    # partition — the reference vocabulary is ~600k nodes, far too many for
-    # per-key UDF dispatch). m1prop resolutions contribute node rows too.
+    # raw node rows (m1prop resolutions contribute node rows too); the
+    # single D1/D2 merge shuffle runs in the caller after derived To-node
+    # rows join the union
     node_rows = emissions.map_batches(
         lambda t: _kept(t, "node", ["label", "name", "extra", "props"]),
         batch_format="pyarrow") \
         .union(resolved.map_batches(
             lambda t: _kept(t, "node", ["label", "name", "extra", "props"]),
             batch_format="pyarrow"))
-    nodes = group_partitioned(node_rows, ["label", "name"], merge_nodes_part,
-                              num_partitions=num_partitions).materialize()
 
-    return KB(nodes=nodes, edges=edges, registry=registry,
+    return KB(nodes=node_rows, edges=edges, registry=registry,
               gazetteer_rows=gazetteer_rows, counters=counters)
