@@ -59,6 +59,33 @@ def add_time_bucket(ds: Dataset, ts_col: str, window_sec: int,
     return ds.map_batches(bucketize, batch_format="pyarrow")
 
 
+def add_sliding_buckets(ds: Dataset, ts_col: str, window_sec: int,
+                        hop_sec: int,
+                        out_col: str = "window_start") -> Dataset:
+    """Sliding (hopping) windows: each row replicates into the
+    window_sec/hop_sec windows that contain it (hop must divide window),
+    tagged with the window's start epoch-second. In-batch vectorized
+    expansion — the groupby afterwards is a plain shuffle, so Ray Data
+    needs no native window operator (same trick as add_time_bucket)."""
+    assert window_sec % hop_sec == 0, "hop must divide window"
+    k = window_sec // hop_sec
+
+    def expand(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        secs = pc.divide(pc.cast(batch[ts_col], pa.int64()), 1_000_000)
+        base = pc.multiply(pc.divide(secs, hop_sec),
+                           pa.scalar(hop_sec, pa.int64()))
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), k)
+        rep = batch.take(pa.array(idx, pa.int64()))
+        offs = np.tile(np.arange(k, dtype=np.int64) * hop_sec, n)
+        starts = pc.subtract(pc.cast(base, pa.int64()).take(
+            pa.array(idx, pa.int64())), pa.array(offs, pa.int64()))
+        return rep.append_column(out_col, starts)
+
+    return ds.map_batches(expand, batch_format="pyarrow")
+
+
 def sessionize(ds: Dataset, key_col: str, ts_col: str, gap_sec: int,
                order_cols: list[str] | None = None) -> Dataset:
     """Per-key session stats: (key, n_events, n_sessions). A session break

@@ -315,6 +315,30 @@ def user_hourly_clicks(sf_dir: str):
         batch_format="pyarrow")
 
 
+def user_sliding_clicks(sf_dir: str):
+    """Sliding-window aggregate (1 h window, 15 min hop): every event
+    lands in 4 windows; vectorized in-batch replication + one shuffle."""
+    from ..ops.relational import add_sliding_buckets
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type",
+                                          "value"])
+    clicks = ev.map_batches(
+        lambda t: (lambda f: pa.table({
+            "user_id": f["user_id"], "ts": f["ts"],
+            "value_c": _cents(f["value"])}))(
+            t.filter(pc.equal(t["event_type"], "click"))),
+        batch_format="pyarrow")
+    out = add_sliding_buckets(clicks, "ts", 3600, 900) \
+        .groupby(["user_id", "window_start"]) \
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c"))
+    return out.map_batches(lambda t: pa.table({
+        "user_id": t["user_id"], "window_start": t["window_start"],
+        "n_events": t["n_events"],
+        "sum_value": pc.divide(pc.cast(t["value_c"], pa.float64()), 100.0)}),
+        batch_format="pyarrow")
+
+
 def purchase_asof_click(sf_dir: str):
     """Backward as-of join per user (merge_asof inside map_groups)."""
     ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
@@ -490,6 +514,7 @@ QUERIES = {
     "supplier_region_stats": supplier_region_stats,
     "part_type_stats": part_type_stats,
     "user_hourly_clicks": user_hourly_clicks,
+    "user_sliding_clicks": user_sliding_clicks,
     "purchase_asof_click": purchase_asof_click,
     "user_sessions": user_sessions,
     "distinct_segments": distinct_segments,
@@ -589,6 +614,16 @@ ORACLE_SQL = {
                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events WHERE event_type = 'click'
         GROUP BY user_id, hour_bucket
+    """,
+    "user_sliding_clicks": """
+        SELECT user_id,
+               (CAST(floor(epoch(ts) / 900) AS BIGINT) - hops.k) * 900
+                   AS window_start,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS hops(k)
+        WHERE event_type = 'click'
+        GROUP BY user_id, window_start
     """,
     "purchase_asof_click": """
         SELECT p.event_id, p.user_id, c.value AS click_value
