@@ -38,10 +38,16 @@ NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # pages in the synthetic corpus per sf tier (deterministic, cached)
 PAGES_BY_SF = {"0.001": 2000, "0.01": 20000, "0.1": 200000}
 
-QUERY_NAMES = ["q1_pricing_summary", "revenue_by_priority",
-               "supplier_region_stats", "part_type_stats", "dedup_exact",
-               "dedup_minhash", "text_stats", "knn_top10", "knn_top10_ivf",
-               "user_hourly_clicks", "user_sessions"]
+QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
+               "revenue_by_priority", "top10_orders",
+               "top3_orders_per_priority", "customers_without_orders",
+               "supplier_region_stats", "part_type_stats",
+               "distinct_segments", "dedup_exact", "dedup_minhash",
+               "dedup_simhash", "dedup_embedding", "text_stats",
+               "text_quality", "knn_top10", "knn_top10_lsh",
+               "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
+               "user_sessions", "purchase_asof_click",
+               "multimodal_features"]
 
 
 def _pool(ncpu: int) -> int:
