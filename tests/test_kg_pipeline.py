@@ -200,6 +200,27 @@ def test_changed_input_invalidates_partition(tmp_path):
     assert "p0" in man2.partitions
 
 
+def test_parity_holds_at_larger_vocabulary(tmp_path_factory):
+    """Engine == oracle on a 4× vocabulary (more genes → more surfaces,
+    registries, bridges, adjacency chains): guards against scale-dependent
+    divergence (band-hash collisions, registry key clashes, automaton
+    construction) that the 64-gene smoke fixture can't see."""
+    from graphene_loader_ray.oracle.kg import run_oracle
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+    from graphene_loader_ray.sources.synth import synthesize
+
+    fixture = synthesize(n_pages=200, n_genes=256)
+    out = str(tmp_path_factory.mktemp("kg_big_vocab"))
+    res = run_kg_pipeline(fixture, out, n_page_partitions=2)
+    gold = run_oracle(fixture)
+    assert _triples(res["graph_dir"]) == gold["triples"]
+    t = pq.read_table(os.path.join(res["graph_dir"], "nodes"))
+    eng = set(zip(t["label"].to_pylist(), t["name"].to_pylist(),
+                  t["canonical_id"].to_pylist(), t["props"].to_pylist()))
+    want = {(l, n, c, p) for l, n, c, _labels, p in gold["nodes"].values()}
+    assert eng == want
+
+
 def test_components_distributed_matches_union_find(smoke_fixture_dir):
     """label_propagation (scale path) == union_find (driver path)."""
     import ray.data as rd
