@@ -317,6 +317,54 @@ def minhash_dedup_pairs(docs: Dataset, threshold: float = 0.5,
                           text_col=text_col, id_col=id_col)
 
 
+def near_dup_groups(pairs: Dataset,
+                    id_cols: tuple[str, str] = ("a", "b"),
+                    distributed: bool = False) -> Dataset:
+    """Near-dup pairs -> (doc_id, canonical_id = numeric-min of the
+    component) — the keep-one-per-cluster tail of the dedup story. Only
+    docs that appear in a pair come back; every other doc is implicitly
+    its own canonical. A row with doc_id == canonical_id is the keeper.
+
+    Default: driver union-find — the pair set is near-dup-population-
+    scale by construction (same bound as verify_jaccard). Pass
+    ``distributed=True`` for min-label propagation
+    (ops/components.py) when the pair set itself is too large to
+    collect; both produce identical labels (tested)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    a, b = id_cols
+    if not distributed:
+        from .components import union_find
+
+        collected: list[tuple[int, int]] = []
+        for t in pairs.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow"):
+            collected.extend(zip(t[a].to_pylist(), t[b].to_pylist()))
+        # pad so union_find's lexicographic min == numeric min
+        canon = union_find([(f"{x:020d}", f"{y:020d}")
+                            for x, y in collected])
+        items = sorted((int(k), int(v)) for k, v in canon.items())
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "canonical_id": pa.array([v for _, v in items], pa.int64())}))
+
+    from .components import label_propagation
+
+    def pad(col):
+        return pc.utf8_lpad(pc.cast(col, pa.string()), 20, "0")
+
+    as_str = pairs.map_batches(
+        lambda t: pa.table({"a": pad(t[a]), "b": pad(t[b])}),
+        batch_format="pyarrow")
+    return label_propagation(as_str).map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["node"], pa.int64()),
+            "canonical_id": pc.cast(t["canonical"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- simhash
 
 class SimHasher:

@@ -404,6 +404,13 @@ def dedup_minhash(sf_dir: str):
         threshold=0.5)
 
 
+def dedup_minhash_groups(sf_dir: str):
+    """Keep-one-per-cluster tail of near-dup dedup: verified minhash pairs
+    → distributed connected components → (doc_id, canonical_id)."""
+    from ..ops.dedup import near_dup_groups
+    return near_dup_groups(dedup_minhash(sf_dir))
+
+
 def dedup_simhash(sf_dir: str):
     return simhash_signatures(_read(sf_dir, "documents",
                                     columns=["doc_id", "text"]))
@@ -522,6 +529,7 @@ QUERIES = {
     "text_stats": text_statistics,
     "text_quality": text_quality,
     "dedup_minhash": dedup_minhash,
+    "dedup_minhash_groups": dedup_minhash_groups,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "knn_top10": knn_top10,

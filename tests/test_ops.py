@@ -105,6 +105,30 @@ def test_embedding_bucket_cap(ray_session):
     assert out["a"].max() < 50 and out["b"].max() < 50
 
 
+def test_near_dup_groups(doc_ds):
+    """pairs → clusters: canonical = numeric-min doc id per component
+    (distributed label propagation == driver union_find)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.components import union_find
+    from graphene_loader_ray.ops.dedup import near_dup_groups
+
+    pairs = [(0, 1), (1, 2), (3, 4), (10, 2)]
+    ds = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in near_dup_groups(ds).take_all()}
+    want = {int(k): int(v) for k, v in
+            union_find([(f"{a:020d}", f"{b:020d}")
+                        for a, b in pairs]).items()}
+    assert got == want
+    assert got[10] == 0 and got[4] == 3
+    # the distributed (label-propagation) path produces identical labels
+    ds2 = rd.from_items([{"a": a, "b": b} for a, b in pairs])
+    got_dist = {r["doc_id"]: r["canonical_id"]
+                for r in near_dup_groups(ds2, distributed=True).take_all()}
+    assert got_dist == want
+
+
 def test_simhash_neardup(doc_ds):
     from graphene_loader_ray.ops.dedup import simhash_neardup_pairs
 
