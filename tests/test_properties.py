@@ -56,6 +56,53 @@ def test_parse_sentence_total(text):
         assert f"{s} {phrase} {o}." == text
 
 
+_prop_vals = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(alphabet="abcXYZ0 _'\"", max_size=8),
+    st.lists(st.text(alphabet="abc", max_size=4), max_size=3))
+_props = st.dictionaries(st.text(alphabet="abcRk_", min_size=1, max_size=6),
+                         _prop_vals, max_size=5)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_props, _props, _props)
+def test_merge_props_commutative_associative_idempotent(a, b, c):
+    """The props merge rule (kb/spec.py) must be a commutative,
+    associative, idempotent fold — otherwise parallel schedule order
+    leaks into nodes.parquet (SURVEY.md §7.4)."""
+    from graphene_loader_ray.kb import spec
+
+    assert spec.merge_props(a, b) == spec.merge_props(b, a)
+    assert spec.merge_props(spec.merge_props(a, b), c) == \
+        spec.merge_props(a, spec.merge_props(b, c))
+    assert spec.merge_props(a, a) == a
+    # serialized form composes the same way
+    ja, jb = spec.props_json(a), spec.props_json(b)
+    assert spec.merge_props_json(ja, jb) == \
+        spec.props_json(spec.merge_props(a, b)) \
+        or (not a and not b)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abx 2[]()-", min_size=1, max_size=10),
+                min_size=1, max_size=12),
+       st.text(alphabet="abx 2[]()-qz.", max_size=80))
+def test_matcher_equals_regex_property(surfaces, text):
+    """TokenAhoCorasick reproduces the reference regex scan on arbitrary
+    surface sets and texts (hypothesis-driven twin of the fuzz test)."""
+    from graphene_loader_ray.functions.linking import Gazetteer
+    from graphene_loader_ray.functions.naming import normalize_surface
+
+    rows = [(s, f"N:X:{normalize_surface(s)}", True)
+            for s in surfaces if normalize_surface(s)]
+    if not rows:
+        return
+    gaz = Gazetteer.build(rows)
+    nt = normalize_surface(text)
+    regex = [m.group(1) for m in gaz.mention_pattern().finditer(nt)]
+    assert gaz.matcher().iter_matches(nt) == regex
+
+
 def test_salted_group_apply_matches_direct(ray_session):
     """Zipf-skewed keys: salted two-phase == direct pandas groupby."""
     import ray.data as rd
