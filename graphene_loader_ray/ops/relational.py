@@ -117,6 +117,71 @@ def sessionize(ds: Dataset, key_col: str, ts_col: str, gap_sec: int,
     return group_partitioned(ds, [key_col], per_partition)
 
 
+def interval_count_join(left: Dataset, right: Dataset, key_col: str,
+                        ts_col: str, radius_sec: int,
+                        left_cols: list[str],
+                        out_col: str = "n_in_range") -> Dataset:
+    """RANGE join, counted: for each left row, how many right rows share
+    its key with |right.ts - left.ts| ≤ radius (a LEFT join — unmatched
+    left rows count 0).
+
+    Shape: ONE hash-partition shuffle on the key (both sides tag-unioned);
+    per partition the right timestamps sort once per key and every left
+    row resolves with two binary searches (np.searchsorted) — no
+    bucket-replication blowup and no per-pair work, so a key with k_l
+    left × k_r right rows costs O((k_l + k_r) log k_r), not O(k_l · k_r).
+    Partitioning assumption (documented, as for asof_join): one key's
+    rows fit one partition."""
+
+    _SIDE = "__rng_side"
+
+    def tag(side: str, ds: Dataset, keep: list[str]) -> Dataset:
+        def fn(t: pa.Table) -> pa.Table:
+            out = {key_col: t[key_col], ts_col: t[ts_col]}
+            for c in left_cols:
+                if c in (key_col, ts_col):
+                    continue            # never null-pad the join key/ts
+                out[c] = t[c] if c in keep else pa.nulls(
+                    t.num_rows, left_schema.field(c).type)
+            out[_SIDE] = pa.array([side] * t.num_rows)
+            return pa.table(out)
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    from .join import as_arrow_schema
+    left_schema = as_arrow_schema(left.schema())
+    tagged = tag("l", left, left_cols).union(tag("r", right, []))
+
+    def count_part(part: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        cols = left_cols + [out_col]
+        if part.empty:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        # exact microsecond comparison (flooring to seconds would shift
+        # the inclusive boundary vs timestamp-interval arithmetic)
+        us = part[ts_col].astype("int64")
+        if str(part[ts_col].dtype).endswith("[ns]"):
+            us = us // 1_000
+        part = part.assign(__s=us)
+        radius = radius_sec * 1_000_000
+        rows = []
+        for _key, g in part.groupby(key_col, sort=False):
+            lhs = g[g[_SIDE] == "l"]
+            if lhs.empty:
+                continue
+            rts = np.sort(g.loc[g[_SIDE] == "r", "__s"].to_numpy())
+            ls = lhs["__s"].to_numpy()
+            n = (np.searchsorted(rts, ls + radius, side="right")
+                 - np.searchsorted(rts, ls - radius, side="left"))
+            sub = lhs[left_cols].copy()
+            sub[out_col] = n.astype("int64")
+            rows.append(sub)
+        return pd.concat(rows, ignore_index=True) if rows else \
+            pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+    from .partition import group_partitioned
+    return group_partitioned(tagged, [key_col], count_part)
+
+
 def asof_join(left: Dataset, right: Dataset, key_col: str, ts_col: str,
               right_value_cols: list[str],
               left_cols: list[str]) -> Dataset:

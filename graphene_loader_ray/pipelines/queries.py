@@ -369,6 +369,34 @@ def purchase_asof_click(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def purchase_nearby_clicks(sf_dir: str):
+    """Range (interval) join, counted: clicks within ±1800 s of each
+    purchase per user — one key-hash shuffle + per-partition binary
+    searches (ops/relational.py:interval_count_join)."""
+    from ..ops.relational import interval_count_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+
+    def typed(kind):
+        return ev.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["event_type"], k))
+                               .select(["event_id", "user_id", "ts"]),
+            batch_format="pyarrow")
+
+    out = interval_count_join(typed("purchase"), typed("click"),
+                              "user_id", "ts", 1800,
+                              left_cols=["event_id", "user_id"],
+                              out_col="n_nearby_clicks")
+    # null-padded tag union upcasts int64 to float64 in pandas; cast back
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_nearby_clicks": pc.cast(t["n_nearby_clicks"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 def user_sessions(sf_dir: str):
     """Session windows (gap > 1800 s) per user."""
     ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
@@ -523,6 +551,7 @@ QUERIES = {
     "user_hourly_clicks": user_hourly_clicks,
     "user_sliding_clicks": user_sliding_clicks,
     "purchase_asof_click": purchase_asof_click,
+    "purchase_nearby_clicks": purchase_nearby_clicks,
     "user_sessions": user_sessions,
     "distinct_segments": distinct_segments,
     "dedup_exact": dedup_exact,
@@ -638,6 +667,15 @@ ORACLE_SQL = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+    "purchase_nearby_clicks": """
+        SELECT p.event_id, p.user_id,
+               CAST(count(c.ts) AS BIGINT) AS n_nearby_clicks
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+          AND epoch(c.ts) BETWEEN epoch(p.ts) - 1800 AND epoch(p.ts) + 1800
+        GROUP BY p.event_id, p.user_id
     """,
     "user_sessions": """
         WITH e AS (
