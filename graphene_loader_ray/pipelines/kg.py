@@ -2,10 +2,11 @@
 
     vocab parquet ─┬─ build_kb ── derive ── canonicalize ──▶ kb stage
                    └─ gazetteer + canonical map (broadcast artifacts)
-    pages parquet ── per-partition: extract → link (actor pool) →
-                     partial dedup → committed part dirs    ▶ triples stage
-    final: kb edges ∪ page triples → global dedup → sorted nodes/edges
-                                                            ▶ graph stage
+    pages parquet ── per-partition: FUSED extract+link actor pool →
+                     combined in-actor partials (triples/mentions/misses/
+                     quarantine) → committed part dirs      ▶ triples stage
+    final: kb edges ∪ page partials → per-kind global reduces → sorted
+           nodes/edges/mentions/misses parquet              ▶ graph stage
 
 Each stage checkpoints through pipelines/checkpoint.py manifests; a killed
 run resumes and skips completed partitions (north rule). The page stage is
