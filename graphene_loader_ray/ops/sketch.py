@@ -1,0 +1,141 @@
+"""Mergeable sketches: HyperLogLog distinct counts and Count-Min
+frequencies (SURVEY.md §2.5 "Sketches" — approximate metrics the
+reference lacks; the instruction-set "novel sketch" custom-operator slot).
+
+Both follow the only shape that works at 100 TB: each batch computes a
+FIXED-SIZE partial (registers / count matrix) independently, partials
+merge with a commutative, associative elementwise op (max / +), and only
+sketch-sized data ever moves — never rows. Determinism: the 64-bit value
+hash is pandas' stable hash (no PYTHONHASHSEED dependence), so estimates
+are identical across runs and partitionings.
+
+- ``hll_distinct``: p-bit register HLL (Flajolet et al. 2007) with the
+  standard small-range (linear counting) and large-range corrections;
+  std error ≈ 1.04/√(2^p) (~1.6% at p=12).
+- ``CountMinSketch`` + ``count_min``: d×w counter matrix; point query =
+  min over d rows; overestimates only, ε ≈ e/w with prob 1-δ, δ ≈ e^-d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+
+def _stable_hash64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable uint64 hash of a column (pd.util.hash_pandas_object uses a
+    fixed key — identical across processes and runs)."""
+    s = values.to_pandas()
+    return pd.util.hash_pandas_object(s, index=False).to_numpy(
+        dtype=np.uint64)
+
+
+# ------------------------------------------------------------------- HLL
+
+def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
+    """One batch -> its 2^p register maxima, emitted sparse (register,
+    rho) — at most min(batch, 2^p) rows enter the merge."""
+    h = _stable_hash64(batch[col])
+    m = np.uint64(1) << np.uint64(p)
+    reg = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rho = leading zeros of the remaining bits + 1 (the injected low bit
+    # caps rho at 64-p+1 and avoids log2(0))
+    rho = (64 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64))
+    df = pd.DataFrame({"register": reg, "rho": rho})
+    best = df.groupby("register", sort=False)["rho"].max().reset_index()
+    del m
+    return pa.table({"register": pa.array(best["register"], pa.int64()),
+                     "rho": pa.array(best["rho"], pa.int64())})
+
+
+def hll_distinct(ds: Dataset, col: str, p: int = 12) -> dict:
+    """Approximate distinct count of ``ds[col]``.
+
+    map_batches partials (sparse register maxima) → ONE groupby(register)
+    max → driver estimate from 2^p rows. Returns
+    {"estimate": float, "p": p, "registers_used": int}."""
+    from ray.data.aggregate import Max
+
+    partials = ds.map_batches(
+        lambda t, c=col, pp=p: _hll_partial(t, c, pp),
+        batch_format="pyarrow", batch_size=65536)
+    merged = partials.groupby("register") \
+        .aggregate(Max("rho", alias_name="rho")).take_all()
+
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    for r in merged:
+        regs[r["register"]] = r["rho"]
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)              # linear counting
+    elif raw > (1 << 64) / 30.0:
+        est = -(1 << 64) * np.log1p(-raw / (1 << 64))
+    else:
+        est = raw
+    return {"estimate": float(est), "p": p, "registers_used": m - zeros}
+
+
+# -------------------------------------------------------------- Count-Min
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+class CountMinSketch:
+    """d×w counter matrix; rows index by d independent derived hashes."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        assert depth <= len(_CMS_SEEDS)
+        self.width, self.depth = width, depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices from one base hash per value."""
+        with np.errstate(over="ignore"):
+            mixed = h[None, :] * _CMS_SEEDS[:self.depth, None]
+        return (mixed >> np.uint64(32)).astype(np.int64) % self.width
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        idx = self._indices(h)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], idx[d], 1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        self.counts += other.counts
+        return self
+
+    def query_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._indices(h)
+        return np.min(np.stack([self.counts[d][idx[d]]
+                                for d in range(self.depth)]), axis=0)
+
+
+def count_min(ds: Dataset, col: str, width: int = 2048,
+              depth: int = 4) -> CountMinSketch:
+    """Build a Count-Min sketch of ``ds[col]`` frequencies: one fixed-size
+    partial per batch, elementwise-summed — sketch-sized shuffle only.
+    Query with ``sketch.query_hashes(_stable_hash64(values))``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch(width, depth)
+        s.add_hashes(_stable_hash64(batch[col]))
+        return pa.table({"sketch": pa.FixedSizeListArray.from_arrays(
+            pa.array(s.counts.reshape(-1), pa.int64()), width * depth)})
+
+    out = CountMinSketch(width, depth)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .iter_batches(batch_size=256, batch_format="pyarrow"):
+        flat = np.asarray(b["sketch"].combine_chunks().flatten(),
+                          dtype=np.int64).reshape(-1, depth * width)
+        out.counts += flat.sum(axis=0).reshape(depth, width)
+    return out

@@ -405,6 +405,19 @@ def user_sessions(sf_dir: str):
 
 # ------------------------------------------------------ training-data suite
 
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user estimate over events (mergeable sketch;
+    exact twin is count(DISTINCT) — the estimate is within ~1.6% at p=12
+    but not hash-identical, so this is a rows-only driver row; accuracy
+    is pinned in test_hll_distinct_accuracy_and_partition_invariance)."""
+    from ..ops.sketch import hll_distinct
+
+    est = hll_distinct(_read(sf_dir, "events", columns=["user_id"]),
+                       "user_id")
+    return pa.table({"approx_distinct_users":
+                     pa.array([int(round(est["estimate"]))], pa.int64())})
+
+
 def distinct_segments(sf_dir: str):
     """Distinct-value surface (A3 distinct label set, Importer.groovy:57-59)
     over a driver table so the op gets a DuckDB-green row."""
@@ -554,6 +567,7 @@ QUERIES = {
     "purchase_nearby_clicks": purchase_nearby_clicks,
     "user_sessions": user_sessions,
     "distinct_segments": distinct_segments,
+    "approx_distinct_users": approx_distinct_users,
     "dedup_exact": dedup_exact,
     "text_stats": text_statistics,
     "text_quality": text_quality,

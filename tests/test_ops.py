@@ -53,6 +53,44 @@ def test_minhash_neardup(doc_ds):
     assert 0.5 <= jac[(0, 2)] < 1.0
 
 
+def test_hll_distinct_accuracy_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import hll_distinct
+
+    n_distinct = 5000
+    ds = rd.from_items([{"v": f"user-{i % n_distinct}"}
+                        for i in range(20000)])
+    est = hll_distinct(ds, "v")
+    assert abs(est["estimate"] - n_distinct) / n_distinct < 0.05
+    # merge is commutative/associative: a different partitioning must give
+    # the IDENTICAL estimate
+    est2 = hll_distinct(ds.repartition(13), "v")
+    assert est2["estimate"] == est["estimate"]
+
+
+def test_count_min_bounds(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import _stable_hash64, count_min
+
+    rows = []
+    truth = {}
+    for i in range(400):
+        c = 1000 if i == 0 else (200 if i == 1 else 3)
+        truth[f"k{i}"] = c
+        rows += [{"v": f"k{i}"}] * c
+    ds = rd.from_items(rows)
+    sk = count_min(ds, "v", width=2048, depth=4)
+    keys = pa.array(list(truth), pa.string())
+    got = sk.query_hashes(_stable_hash64(keys))
+    exact = np.array([truth[k] for k in truth])
+    assert (got >= exact).all()                  # CMS never undercounts
+    n_total = sum(truth.values())
+    assert (got - exact).max() <= np.e / 2048 * n_total * 4  # ε bound, slack
+    assert got[0] == 1000 and got[1] == 200      # heavy keys near-exact
+
+
 def test_distinct_values(ray_session):
     """A3 distinct label set as a named, tested op."""
     import ray.data as rd
