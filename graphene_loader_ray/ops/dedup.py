@@ -109,6 +109,26 @@ def exact_text_dedup(docs: Dataset, text_col: str = "text",
                    Count(alias_name="n_dups"))
 
 
+def hash_sample(docs: Dataset, rate_sixteenths: int,
+                text_col: str = "text") -> Dataset:
+    """Deterministic content-hash sampling: keep rows whose md5(text)
+    starts below ``rate_sixteenths``/16 of the hex space — the stable
+    holdout-split recipe (same doc always lands on the same side,
+    independent of partitioning, run, or corpus growth; md5 so a SQL twin
+    can reproduce it byte-for-byte)."""
+    assert 0 <= rate_sixteenths <= 16
+    bound = f"{rate_sixteenths:x}"
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            [hashlib.md5((t or "").encode("utf-8")).hexdigest() < bound
+             if rate_sixteenths < 16 else True
+             for t in batch[text_col].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- minhash
 
 def shingle_set(text: str, n: int = 3) -> set[int]:

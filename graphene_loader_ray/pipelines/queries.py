@@ -431,6 +431,22 @@ def dedup_exact(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+def sample_documents(sf_dir: str):
+    """Deterministic 25% content-hash holdout split (same doc always on
+    the same side regardless of partitioning/run)."""
+    from ..ops.dedup import hash_sample
+    return hash_sample(_read(sf_dir, "documents",
+                             columns=["doc_id", "text"]), 4)
+
+
+def shuffled_documents(sf_dir: str):
+    """Seeded global random shuffle (training-data epoch order); the
+    DuckDB twin checks the permutation property — every row present
+    exactly once (the driver compare sorts before hashing)."""
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .random_shuffle(seed=7)
+
+
 def text_statistics(sf_dir: str):
     return token_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -569,6 +585,8 @@ QUERIES = {
     "distinct_segments": distinct_segments,
     "approx_distinct_users": approx_distinct_users,
     "dedup_exact": dedup_exact,
+    "sample_documents": sample_documents,
+    "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,
     "dedup_minhash": dedup_minhash,
@@ -705,6 +723,12 @@ ORACLE_SQL = {
     """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "sample_documents": """
+        SELECT doc_id, text FROM documents WHERE md5(text) < '4'
+    """,
+    "shuffled_documents": """
+        SELECT doc_id, text FROM documents
     """,
     "dedup_exact": """
         SELECT md5(text) AS text_hash,
