@@ -19,6 +19,11 @@ from ray.data import Dataset
 # the oracle-SQL twin of TOKEN_RE is `regexp_extract_all(text, '\\w+|[^\\w\\s]')`
 TOKEN_PATTERN = r"\w+|[^\w\s]"
 WORD_PATTERN = r"\w+"
+# BPE-style pre-tokenizer (GPT-2-shaped: contraction suffixes, space-
+# prefixed letter/digit/punct runs, residual whitespace) — deliberately
+# lookahead-free so DuckDB's RE2 twin counts the SAME tokens
+BPE_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+               r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
 
 # small per-language stopword tables (public, common knowledge)
 STOPWORDS: dict[str, frozenset[str]] = {
@@ -43,11 +48,12 @@ class TokenCounter:
         # SQL oracle twin counts the same tokens on non-ASCII text
         self.token_re = re.compile(TOKEN_PATTERN, re.ASCII)
         self.word_re = re.compile(WORD_PATTERN, re.ASCII)
+        self.bpe_re = re.compile(BPE_PATTERN)
         self.stop_en = STOPWORDS["en"]
         self.text_col, self.id_col = text_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_tokens, n_words, n_stop = [], [], []
+        n_tokens, n_words, n_stop, n_bpe = [], [], [], []
         texts = batch[self.text_col].to_pylist()
         for text in texts:
             toks = self.token_re.findall(text or "")
@@ -55,6 +61,11 @@ class TokenCounter:
             n_tokens.append(len(toks))
             n_words.append(len(words))
             n_stop.append(sum(1 for w in words if w.lower() in self.stop_en))
+            # BPE-ish count: non-whitespace pre-tokens (a real tokenizer
+            # would map each to ≥1 merges; this is the standard cheap
+            # training-token estimator)
+            n_bpe.append(sum(1 for t in self.bpe_re.findall(text or "")
+                             if not t.isspace()))
         n_chars = [len(t or "") for t in texts]
         return pa.table({
             "doc_id": batch[self.id_col],
@@ -62,6 +73,7 @@ class TokenCounter:
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "n_words": pa.array(n_words, pa.int64()),
             "n_stop": pa.array(n_stop, pa.int64()),
+            "n_bpe_tokens": pa.array(n_bpe, pa.int64()),
         })
 
 

@@ -742,7 +742,10 @@ ORACLE_SQL = {
                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))     AS n_tokens,
                len(regexp_extract_all(text, '\\w+'))               AS n_words,
                len(list_filter(regexp_extract_all(lower(text), '\\w+'),
-                               w -> w IN ({_STOP_SQL})))           AS n_stop
+                               w -> w IN ({_STOP_SQL})))           AS n_stop,
+               len(list_filter(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+                   t -> NOT regexp_matches(t, '^\\s+$')))          AS n_bpe_tokens
         FROM documents
     """,
     # exact brute-force cosine top-k IS SQL-expressible (DuckDB

@@ -287,7 +287,10 @@ def test_text_stats_vs_duckdb(ray_session):
                len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens,
                len(regexp_extract_all(text, '\\w+')) AS n_words,
                len(list_filter(regexp_extract_all(lower(text), '\\w+'),
-                               w -> w IN ({stop_sql}))) AS n_stop
+                               w -> w IN ({stop_sql}))) AS n_stop,
+               len(list_filter(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
+                   t -> NOT regexp_matches(t, '^\\s+$'))) AS n_bpe_tokens
         FROM '{sf}/documents.parquet' ORDER BY doc_id
     """).fetchdf()
     pd.testing.assert_frame_equal(out, gold, check_dtype=False)
