@@ -42,7 +42,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "revenue_by_priority", "top10_orders",
                "top3_orders_per_priority", "customers_without_orders",
                "supplier_region_stats", "part_type_stats",
-               "distinct_segments", "dedup_exact", "dedup_minhash",
+               "distinct_segments", "approx_distinct_users", "dedup_exact",
+               "sample_documents", "shuffled_documents", "dedup_minhash",
                "dedup_simhash", "dedup_embedding", "text_stats",
                "text_quality", "knn_top10", "knn_top10_lsh",
                "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
