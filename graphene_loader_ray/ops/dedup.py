@@ -59,12 +59,21 @@ class ShingleHasher:
     perf audit #1). Used by BOTH the signature and the verify paths so
     Jaccard is computed over the same shingle universe."""
 
+    # bound the per-holder word cache: web text has effectively unbounded
+    # distinct tokens, and MinHasher actors live for the whole pass — an
+    # uncapped dict would grow until the worker heap dies. Epoch reset
+    # (clear when full) keeps amortized hit rates high with O(1) logic;
+    # correctness is unaffected (hashes are pure recomputations).
+    MAX_CACHE = 1_000_000
+
     def __init__(self, n: int = 3) -> None:
         self.n = n
         self._word_cache: dict[str, int] = {}
 
     def word_hashes(self, text: str) -> np.ndarray:
         cache = self._word_cache
+        if len(cache) > self.MAX_CACHE:
+            cache.clear()
         words = _WORD_RE.findall(text.lower())
         out = np.empty(len(words), dtype=np.uint64)
         for i, w in enumerate(words):
@@ -120,9 +129,11 @@ def hash_sample(docs: Dataset, rate_sixteenths: int,
     bound = f"{rate_sixteenths:x}"
 
     def keep(batch: pa.Table) -> pa.Table:
+        # NULL text drops (SQL semantics: md5(NULL) IS NULL, never < bound)
         mask = pa.array(
-            [hashlib.md5((t or "").encode("utf-8")).hexdigest() < bound
-             if rate_sixteenths < 16 else True
+            [t is not None
+             and (rate_sixteenths == 16
+                  or hashlib.md5(t.encode("utf-8")).hexdigest() < bound)
              for t in batch[text_col].to_pylist()], pa.bool_())
         return batch.filter(mask)
 
@@ -196,6 +207,10 @@ def lsh_candidate_pairs(signatures: Dataset, bands: int = 16,
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        if n == 0:                    # reshape(0, -1) can't infer a width
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "bucket": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
         sigs = np.asarray(batch["sig"].combine_chunks().flatten()) \
             .reshape(n, -1)
         r = sigs.shape[1] // bands

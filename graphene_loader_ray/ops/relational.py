@@ -34,6 +34,13 @@ def attach_broadcast(ds: Dataset, lookup_ref, key_col: str, out_col: str,
     class Attach:
         def __init__(self) -> None:
             self.lookup: dict = ray.get(lookup_ref)
+            # int-valued lookups must come back int64: Series.map yields
+            # NaN on misses, upcasting the column to float64 before the
+            # default fill — undo that when nothing is genuinely float
+            self.int_valued = bool(self.lookup) and all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in self.lookup.values()) and \
+                (default is None or isinstance(default, int))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             # pd.Series.map dispatches the dict lookups in C (several×
@@ -41,8 +48,11 @@ def attach_broadcast(ds: Dataset, lookup_ref, key_col: str, out_col: str,
             vals = batch[key_col].to_pandas().map(self.lookup)
             if default is not None:
                 vals = vals.where(vals.notna(), default)
-            return batch.append_column(out_col,
-                                       pa.Array.from_pandas(vals))
+            arr = pa.Array.from_pandas(vals)
+            if self.int_valued and pa.types.is_floating(arr.type) \
+                    and arr.null_count == 0:
+                arr = pc.cast(arr, pa.int64())
+            return batch.append_column(out_col, arr)
 
     return ds.map_batches(Attach, batch_format="pyarrow", concurrency=(1, 8))
 

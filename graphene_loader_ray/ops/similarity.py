@@ -41,12 +41,16 @@ class _BruteScorer:
         k = min(self.k, sims.shape[1])
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
-            row = sims[qi]
-            top = np.argpartition(-row, k - 1)[:k]
+            # rank by the ROUNDED score with vec_id tie-break — the same
+            # total order the global reduce and the SQL twin use, so a
+            # rounded tie straddling the per-batch top-k boundary can't
+            # select a different row than DuckDB's ROW_NUMBER
+            row = np.round(sims[qi], 6)
+            top = np.lexsort((ids, -row))[:k]
             for j in top:
                 out_q.append(int(qid))
                 out_v.append(int(ids[j]))
-                out_s.append(round(float(row[j]), 6))
+                out_s.append(float(row[j]))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
@@ -99,15 +103,16 @@ class _LshScorer:
             mask = np.isin(buckets, list(probe))
             if not mask.any():
                 continue
-            row = vecs[mask] @ self.qmat[qi]
+            row = np.round(vecs[mask] @ self.qmat[qi], 6)
             sel_ids = ids[mask]
             k = min(self.k, len(row))
-            top = np.argpartition(-row, k - 1)[:k] if len(row) > k else \
-                np.arange(len(row))
+            # rounded score + vec_id tie-break: same total order as the
+            # global reduce, deterministic across batch splits
+            top = np.lexsort((sel_ids, -row))[:k]
             for j in top:
                 out_q.append(int(qid))
                 out_v.append(int(sel_ids[j]))
-                out_s.append(round(float(row[j]), 6))
+                out_s.append(float(row[j]))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
@@ -175,15 +180,16 @@ class _IvfScorer:
             mask = np.isin(cells, self.qcells[qi])
             if not mask.any():
                 continue
-            row = vecs[mask] @ self.qmat[qi]
+            row = np.round(vecs[mask] @ self.qmat[qi], 6)
             sel_ids = ids[mask]
             k = min(self.k, len(row))
-            top = np.argpartition(-row, k - 1)[:k] if len(row) > k else \
-                np.arange(len(row))
+            # rounded score + vec_id tie-break: same total order as the
+            # global reduce, deterministic across batch splits
+            top = np.lexsort((sel_ids, -row))[:k]
             for j in top:
                 out_q.append(int(qid))
                 out_v.append(int(sel_ids[j]))
-                out_s.append(round(float(row[j]), 6))
+                out_s.append(float(row[j]))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})

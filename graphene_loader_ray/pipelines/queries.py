@@ -562,7 +562,8 @@ def multimodal_features(sf_dir: str):
 
     fixture = synthesize(n_pages=400)
     images = rd.read_parquet(os.path.join(fixture, "images.parquet"),
-                             columns=["url", "payload"])
+                             columns=["url", "payload"],
+                             override_num_blocks=2)   # small-read rule
     return extract_features(decode_payloads(images))
 
 

@@ -183,9 +183,3 @@ def misses_only(linked: Dataset) -> Dataset:
     return linked.map_batches(f, batch_format="pyarrow")
 
 
-def kind_counts(linked: Dataset) -> dict[str, int]:
-    """Total occurrence counts per kind (sums the in-actor partials)."""
-    from ..ops.aggregate import pre_aggregated_sum
-    out = pre_aggregated_sum(linked.select_columns(["kind", "n"]),
-                             ["kind"], "n").to_pandas()
-    return dict(zip(out["kind"], out["n"]))

@@ -400,7 +400,10 @@ class ResolveRefs:
                                         "pred": row["pred"],
                                         "source": row["source"]})
                 elif row["rev"]:
-                    em.edge(target, row["pred"], row["subj"])
+                    em.rows.append({**_EMPTY, "kind": "edge",
+                                    "subj": target, "pred": row["pred"],
+                                    "obj": row["subj"],
+                                    "props": row.get("props")})
                 else:
                     em.rows.append({**_EMPTY, "kind": "edge",
                                     "subj": row["subj"], "pred": row["pred"],
