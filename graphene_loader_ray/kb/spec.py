@@ -116,8 +116,13 @@ REL_RXN = "RXN"
 REL_ENCODED_BY = "ENCODED_BY"
 REL_METABOLITE_LINK = "METABOLITE_LINK"
 
+# Dynamic rel minted by createGenetrees (GeneLoader.groovy:186-193:
+# `DynamicRelationshipType.withName('IN')`).
+REL_IN = "IN"
+
 # node labels minted by the loaders themselves
 LABEL_NAME = "Name"            # synonym nodes (GrameneMongoLoader.groovy:334)
+LABEL_GENE_TREE = "GeneTree"   # GeneLoader.groovy:188 `labels.GeneTree`
 LABEL_MAP = "Map"              # GeneLoader.groovy:159
 LABEL_REGION = "Region"        # GeneLoader.groovy:160
 LABEL_INTERPRO = "InterPro"    # DomainLoader.groovy:244
@@ -242,6 +247,46 @@ OBJECT_PROP_COLS = ("identifier", "accession", "ec_number")
 # skips entirely in createOntologyXrefs (GeneLoader.groovy:88) — they
 # produce NO output (not even an Xref node).
 GENE_ONTOLOGY_XREF_SKIPPED = frozenset({"goslim_goa"})
+
+
+# Gene-tree fields popped before node creation and turned into GeneTree
+# nodes + IN edges (GeneLoader.groovy:37 `[gene.remove('epl_gene_tree'),
+# gene.remove('eg_gene_tree')]` → createGenetrees :186-193). Order mirrors
+# the reference's list literal (immaterial under edge dedup).
+GENE_TREE_KEYS = ("epl_gene_tree", "eg_gene_tree")
+
+# ---------------------- generalized leftover-collection dynamic relationships
+#
+# OntologyLoader.groovy:56-67: after the reserved keys are popped, ANY
+# remaining collection-valued key becomes a dynamically-named relationship
+# `KEY.toUpperCase()` whose values are same-ontology term ids resolved via
+# linkToExternal (miss → logged+dropped). In this fixture manifest the term
+# record schema is fixed, so "leftover" = every column NOT consumed by a
+# dedicated loader path below; the mechanism stays generic — adding a new
+# collection column to vocab_terms (e.g. `consider`, `replaced_by`) flows
+# through with no engine/oracle change.
+ONTOLOGY_RESERVED_KEYS = frozenset({
+    # identity/bookkeeping columns of the fixture flattening
+    "_id", "source", "name", "label", "is_obsolete",
+    # popped by preprocess (GrameneMongoLoader.groovy:45-56)
+    "property_value",
+    # popped by OntologyLoader.process (OntologyLoader.groovy:33-41)
+    "synonym", "xref", "relationship", "intersection_of", "subset",
+    "namespace",
+    # gene/taxon/domain-only columns (other loaders' dedicated paths)
+    "taxon_id", "gene_id", "interpro", "protein_features", "location",
+    *GENE_TREE_KEYS,
+})
+
+
+def leftover_collections(term: dict) -> list[tuple[str, list]]:
+    """findOtherRelations (OntologyLoader.groovy:65-67): the non-reserved
+    collection-valued keys of one term record, as (KEY.upper(), ids) sorted
+    by key for determinism (emission order is immaterial — edges dedup and
+    misses count per (source, pred))."""
+    return sorted((k.upper(), v) for k, v in term.items()
+                  if k not in ONTOLOGY_RESERVED_KEYS
+                  and isinstance(v, list) and v)
 
 
 def interpro_set_name(ipr_ids: list[int]) -> str:

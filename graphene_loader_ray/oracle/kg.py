@@ -225,10 +225,12 @@ class OracleKG:
                     parsed = parse_relationship(inter[1], pat)
                     if parsed is not None:
                         self.link_external(source, key, parsed[0], parsed[1])
-            # leftover collection keys -> dynamic rels (OntologyLoader.groovy:56-67);
-            # in this corpus that is exactly `is_a` -> IS_A
-            for parent in t.get("is_a") or []:
-                self.link_external(source, key, "IS_A", parent)
+            # leftover collection keys -> dynamic rels named KEY.upper()
+            # (OntologyLoader.groovy:56-67 findOtherRelations/createOtherRels:
+            # is_a -> IS_A, consider -> CONSIDER, any future column alike)
+            for rel_name, ids in spec.leftover_collections(t):
+                for target in ids:
+                    self.link_external(source, key, rel_name, target)
 
     def load_taxonomy(self, rows: list[dict]) -> None:
         """NCBITaxonLoader.groovy:175-215. ALT_ID is dead code (preprocess
@@ -373,6 +375,14 @@ class OracleKG:
                     if is_new:
                         self.link(set_key, spec.REL_CONTAINS, d_key)
                     self.link(set_key, spec.REL_CONTAINS, key)
+            # GeneTree nodes + IN edges (GeneLoader.groovy:37,186-193):
+            # popped fields epl_gene_tree/eg_gene_tree, each non-empty value
+            # becomes a cached GeneTree node + gene-[IN]->tree edge
+            for gt_field in spec.GENE_TREE_KEYS:
+                tree = g.get(gt_field)
+                if tree:
+                    tree_key = self.node(spec.LABEL_GENE_TREE, tree)
+                    self.link(key, spec.REL_IN, tree_key)
             # protein features that are NOT interpro signatures stay props
             # (GeneLoader.groovy:176-209) — no edges
             # location (GeneLoader.groovy:156-174)

@@ -252,10 +252,13 @@ def build_vocab(n_genes: int = 64, seed: int = SEED) -> SynthResult:
                "intersection_of": kw.get("intersection_of", []),
                "namespace": kw.get("namespace"), "subset": kw.get("subset", []),
                "is_obsolete": kw.get("is_obsolete", False),
+               "consider": kw.get("consider", []),
                "taxon_id": kw.get("taxon_id"), "gene_id": kw.get("gene_id"),
                "interpro": kw.get("interpro", []),
                "protein_features": kw.get("protein_features", []),
-               "location": kw.get("location")}
+               "location": kw.get("location"),
+               "epl_gene_tree": kw.get("epl_gene_tree"),
+               "eg_gene_tree": kw.get("eg_gene_tree")}
         term_rows.append(row)
         if not row["is_obsolete"]:
             ents[f"{source}:{_id}"] = _Ent(f"{source}:{_id}", label, name,
@@ -292,6 +295,10 @@ def build_vocab(n_genes: int = 64, seed: int = SEED) -> SynthResult:
                  xref=([f"EC:1.1.1.{i}", f"Reactome:R-ALL-{i} legacy {nm}"]
                        if i % 4 == 0 else []),
                  is_a=[_go_id(i - 1)] if i > 0 and i % 2 == 0 else [],
+                 # a second leftover collection key → CONSIDER dynamic rel
+                 # (OntologyLoader.groovy:56-67); at i=40 the GO target
+                 # (idx 38) is obsolete → exercises the dangling path
+                 consider=[_go_id(i - 2)] if i % 9 == 4 else [],
                  relationship=rels, intersection_of=inter,
                  namespace=GO_NAMESPACES[i % 3] if ont == "GO" else None,
                  subset=["goslim_plant"] if ont == "GO" and i % 6 == 0 else [],
@@ -330,9 +337,18 @@ def build_vocab(n_genes: int = 64, seed: int = SEED) -> SynthResult:
              xref=gene_xrefs,
              gene_id=f"GENE{i:05d}",
              taxon_id=taxa_ids[i % n_taxa] if i % 17 != 16 else 999_777,
-             interpro=sorted({(i * 3) % n_domains + 1, (i * 5) % n_domains + 1}),
+             # gene 11's interpro ids ALL dangle: pins the gated
+             # InterProSet→Gene CONTAINS edge (GeneLoader.groovy — link
+             # inside if(interproNodeId)); the orphan set node survives
+             interpro=([990_001, 990_002] if i == 11 else
+                       sorted({(i * 3) % n_domains + 1,
+                               (i * 5) % n_domains + 1})),
              protein_features=[f"PFAM:PF{10000 + i % n_domains:05d}",
                                f"coils:Coil"],
+             # gene trees (GeneLoader.groovy:37): shared across genes
+             # (cached GeneTree nodes), sometimes absent, sometimes both
+             epl_gene_tree=(f"EPLGT{i % 12:07d}" if i % 3 != 2 else None),
+             eg_gene_tree=(f"EGGT{i % 10:07d}" if i % 4 == 1 else None),
              location={"map": f"assembly{(i % 3) + 1}",
                        "region": f"chr{region_no + 1}",
                        "start": 1000 * (i % 97) + 13, "end": 1000 * (i % 97) + 900,
@@ -386,9 +402,11 @@ def _terms_table(rows: list[dict]) -> pa.Table:
         ("is_a", pa.list_(pa.int64())), ("relationship", pa.list_(pa.string())),
         ("intersection_of", pa.list_(pa.string())), ("namespace", pa.string()),
         ("subset", pa.list_(pa.string())), ("is_obsolete", pa.bool_()),
+        ("consider", pa.list_(pa.int64())),
         ("taxon_id", pa.int64()), ("gene_id", pa.string()),
         ("interpro", pa.list_(pa.int64())),
         ("protein_features", pa.list_(pa.string())), ("location", loc_t),
+        ("epl_gene_tree", pa.string()), ("eg_gene_tree", pa.string()),
     ])
     cols = {f.name: [r[f.name] for r in rows] for f in schema}
     return pa.table(cols, schema=schema)
@@ -547,7 +565,7 @@ def build_images(n_images: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 4
+_FIXTURE_VERSION = 5
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,

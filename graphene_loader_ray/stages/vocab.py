@@ -221,8 +221,13 @@ def _parse_ontology_term(em: _Emitter, t: dict, src: str, pat) -> None:
             parsed = parse_relationship(inter[1], pat)
             if parsed is not None:
                 em.ref(key, parsed[0], src, parsed[1])
-    for parent in t.get("is_a") or []:     # leftover collection → IS_A
-        em.ref(key, "IS_A", src, parent)
+    # leftover collection-valued keys → dynamic rels named KEY.upper()
+    # (OntologyLoader.groovy:56-67 findOtherRelations/createOtherRels;
+    # is_a → IS_A, consider → CONSIDER, …); targets resolve via the
+    # deferred-rel path (miss → counted+dropped)
+    for rel_name, ids in spec.leftover_collections(t):
+        for target in ids:
+            em.ref(key, rel_name, src, target)
 
 
 def _parse_taxon(em: _Emitter, t: dict) -> None:
@@ -319,7 +324,24 @@ def _parse_gene(em: _Emitter, t: dict,
         for ipr_id in ipr:
             em.ref(key, spec.REL_CONTAINS, spec.DOMAINS_SOURCE, ipr_id)
             em.ref(set_key, spec.REL_CONTAINS, spec.DOMAINS_SOURCE, ipr_id)
-        em.edge(set_key, spec.REL_CONTAINS, key)
+            # set→gene CONTAINS only when some (gene, ipr) ref resolves —
+            # GeneLoader.groovy: link(setNodeId, nodeId) sits INSIDE the
+            # if(interproNodeId) branch. A gene whose interpro ids ALL
+            # dangle gets no set→gene edge. 'gated_edge' emits (subj,
+            # pred, obj) iff (source, ext_id) resolves; never counts a
+            # miss (the two companion refs above already count 2).
+            em.rows.append({**_EMPTY, "kind": "gated_edge", "subj": set_key,
+                            "pred": spec.REL_CONTAINS, "obj": key,
+                            "source": spec.DOMAINS_SOURCE,
+                            "ext_id": str(ipr_id)})
+    # GeneTree nodes + IN edges (GeneLoader.groovy:37,186-193): each
+    # non-empty gene-tree field becomes a name-cached GeneTree node and a
+    # gene-[IN]->tree edge
+    for gt_field in spec.GENE_TREE_KEYS:
+        tree = t.get(gt_field)
+        if tree:
+            tree_key = em.node(spec.LABEL_GENE_TREE, tree)
+            em.edge(key, spec.REL_IN, tree_key)
     loc = t.get("location")
     if loc and loc.get("map"):
         map_key = em.node(spec.LABEL_MAP, loc["map"])
@@ -370,6 +392,16 @@ class ResolveRefs:
                 else:
                     em.rows.append({**_EMPTY, "kind": "edge", "subj": s,
                                     "pred": row["pred"], "obj": o,
+                                    "props": row.get("props")})
+            elif kind == "gated_edge":
+                # edge gated on a registry hit (InterProSet→Gene CONTAINS:
+                # GeneLoader.groovy link(setNodeId, nodeId) inside the
+                # if(interproNodeId) branch); a miss emits NOTHING — the
+                # companion ref rows carry the dangling counters
+                if reg.get((row["source"], row["ext_id"])) is not None:
+                    em.rows.append({**_EMPTY, "kind": "edge",
+                                    "subj": row["subj"], "pred": row["pred"],
+                                    "obj": row["obj"],
                                     "props": row.get("props")})
             elif kind == "m1prop":
                 # J6 m:1 name denormalization (ReactomeLoader.groovy:271-278):
@@ -558,7 +590,7 @@ def build_kb(fixture_dir: str, num_partitions: int = 8) -> KB:
 
     refs = emissions.map_batches(
         lambda t: t.filter(pa.compute.is_in(
-            t["kind"], pa.array(["ref", "edge_ids", "m1prop"]))),
+            t["kind"], pa.array(["ref", "edge_ids", "m1prop", "gated_edge"]))),
         batch_format="pyarrow")
     from ..ops.partition import group_partitioned
 

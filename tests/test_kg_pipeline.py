@@ -143,6 +143,46 @@ def test_miss_surfaces_match_oracle(pipeline_result, oracle_result):
     assert sum(eng.values()) == oracle_result["counters"]["unlinked_mentions"]
 
 
+def test_gene_trees_and_dynamic_rels(pipeline_result, oracle_result):
+    """Round-3 parity additions: GeneTree nodes + IN edges
+    (GeneLoader.groovy:37,186-193 createGenetrees) and generalized
+    leftover-collection dynamic rels (OntologyLoader.groovy:56-67 — the
+    fixture's `consider` column → CONSIDER edges). Exact engine==oracle
+    equality is asserted elsewhere; this pins that the fixture exercises
+    the features at all (the r2 gap was invisible precisely because the
+    fixtures lacked the fields)."""
+    eng = _triples(pipeline_result["graph_dir"])
+    in_edges = {(s, o) for s, p, o in eng if p == "IN"}
+    assert in_edges
+    assert all(o.startswith("N:GeneTree:") for _, o in in_edges)
+    # trees are shared across genes: more IN edges than distinct tree nodes
+    assert len({o for _, o in in_edges}) < len(in_edges)
+    assert any(p == "CONSIDER" for _, p, _ in eng)
+    assert any(p == "IN" for _, p, _ in oracle_result["triples"])
+    assert any(p == "CONSIDER" for _, p, _ in oracle_result["triples"])
+
+
+def test_dangling_interpro_set_edge_gated(pipeline_result, oracle_result):
+    """The set→gene CONTAINS edge is emitted only when at least one
+    (gene, interpro) ref resolves — GeneLoader.groovy keeps
+    link(setNodeId, nodeId) INSIDE the if(interproNodeId) branch. The
+    fixture's gene 11 has ALL-dangling interpro ids: its orphan
+    InterProSet node must exist with NO edges touching it."""
+    from graphene_loader_ray.kb import spec
+
+    set_key = spec.node_key(spec.LABEL_INTERPRO_SET,
+                            spec.interpro_set_name([990_001, 990_002]))
+    t = pq.read_table(os.path.join(pipeline_result["graph_dir"], "nodes"))
+    names = set(zip(t["label"].to_pylist(), t["name"].to_pylist()))
+    assert (spec.LABEL_INTERPRO_SET,
+            spec.interpro_set_name([990_001, 990_002])) in names
+    eng = _triples(pipeline_result["graph_dir"])
+    assert not any(s == set_key or o == set_key for s, _, o in eng)
+    # the four probes (2 per dangling ipr) are counted, engine == oracle
+    assert pipeline_result["counters"]["dangling_edge:domains:CONTAINS"] == 4
+    assert oracle_result["counters"]["dangling_edge:domains:CONTAINS"] == 4
+
+
 def test_resume_skips_everything(pipeline_result, smoke_fixture_dir):
     from graphene_loader_ray.pipelines.kg import run_kg_pipeline
 
