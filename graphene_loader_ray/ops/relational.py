@@ -49,8 +49,10 @@ def attach_broadcast(ds: Dataset, lookup_ref, key_col: str, out_col: str,
             if default is not None:
                 vals = vals.where(vals.notna(), default)
             arr = pa.Array.from_pandas(vals)
-            if self.int_valued and pa.types.is_floating(arr.type) \
-                    and arr.null_count == 0:
+            if self.int_valued and pa.types.is_floating(arr.type):
+                # cast even when misses left nulls (NaN → null in
+                # from_pandas; Arrow int64 is nullable) — otherwise the
+                # miss path leaks float64 where the hit path gives int64
                 arr = pc.cast(arr, pa.int64())
             return batch.append_column(out_col, arr)
 

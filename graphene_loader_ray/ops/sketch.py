@@ -43,8 +43,16 @@ def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
     # rho = leading zeros of the remaining bits + 1 (the injected low bit
-    # caps rho at 64-p+1 and avoids log2(0))
-    rho = (64 - np.floor(np.log2(rest.astype(np.float64))).astype(np.int64))
+    # caps rho at 64-p+1 and guarantees rest != 0). Pure integer bit
+    # length — float64 log2 rounds values within ~2^11 of 2^64 UP to
+    # exactly 2^64, mis-recording a hit register as rho=0
+    bit_len = np.zeros(rest.shape, dtype=np.int64)
+    v = rest.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        bit_len[big] += shift
+        v[big] >>= np.uint64(shift)
+    rho = 65 - (bit_len + 1)        # = 64 - floor(log2(rest)), exactly
     df = pd.DataFrame({"register": reg, "rho": rho})
     best = df.groupby("register", sort=False)["rho"].max().reset_index()
     del m

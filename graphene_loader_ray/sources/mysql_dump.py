@@ -36,6 +36,13 @@ Row semantics mirrored exactly (same file:line cites):
     is a STRING; SQL NULL arrives as the literal string ``"NULL"``
   - charset ISO-8859-1 (LoadMysqlDump.CHARSET)
 
+One deliberate deviation: the line that closes a VALUES run moves straight
+to BEFORE_CREATE here, so a ``CREATE TABLE`` on the very next line is
+recognized; the reference burns that line in its TABLE_DONE state and
+would drop such a table. Real mysqldump output never exercises the
+difference (UNLOCK TABLES / banner / blank lines always intervene), and
+recognizing the table is the safer behavior for hand-built dumps.
+
 ``cast_dump_table`` converts that all-strings surface to a typed Arrow
 schema ("NULL" → null + cast) for pipelines that want typed columns.
 """
