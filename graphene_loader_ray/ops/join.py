@@ -83,6 +83,22 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
     tagged = left.map_batches(tag("l", rcols, rschema), batch_format="pyarrow") \
         .union(right.map_batches(tag("r", lcols, lschema), batch_format="pyarrow"))
 
+    # declared-integer columns: the tagged union null-pads the other side's
+    # columns, so partitions holding both sides see int64-with-nulls →
+    # pandas upcasts the WHOLE column to float64, while one-sided
+    # partitions keep int64 — mixed-dtype blocks crash the next shuffle's
+    # sort merge ("Types mismatch: double != int64"). Restore the declared
+    # dtype on the way out (nullable Int64 → arrow int64, nulls preserved).
+    int_cols = {n for sch in (lschema, rschema)
+                for n, t in zip(sch.names, sch.types)
+                if pa.types.is_integer(t)}
+
+    def restore_ints(out: pd.DataFrame) -> pd.DataFrame:
+        for c in out.columns:
+            if c in int_cols and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("Int64")
+        return out
+
     def match(part: pd.DataFrame) -> pd.DataFrame:
         """One vectorized pandas merge per hash partition (NOT per key —
         per-key UDF dispatch dominates at high key cardinality)."""
@@ -90,14 +106,15 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
         rhs = part[part[_SIDE] == "r"]
         if how == "inner":
             out = lhs[on + lcols].merge(rhs[on + rcols], on=on, how="inner")
-            return out.reindex(columns=on + lcols + rcols)
+            return restore_ints(out.reindex(columns=on + lcols + rcols))
         keys_r = rhs[on].drop_duplicates()
         if how == "left_semi":
-            return lhs[on + lcols].merge(keys_r, on=on, how="inner")
+            return restore_ints(lhs[on + lcols].merge(keys_r, on=on,
+                                                      how="inner"))
         if how == "left_anti":
             marked = lhs[on + lcols].merge(
                 keys_r.assign(__hit=1), on=on, how="left")
-            return marked[marked["__hit"].isna()][on + lcols]
+            return restore_ints(marked[marked["__hit"].isna()][on + lcols])
         raise ValueError(how)
 
     from .partition import group_partitioned

@@ -27,6 +27,26 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def vec_matrix(col) -> np.ndarray:
+    """Embedding column (fixed_size_list or list<float>) → (n, dim)
+    float64 matrix with NO per-row Python: flatten the child values in C
+    and reshape (zero-copy from the Arrow buffer when dtypes line up;
+    list_flatten — not .values — so sliced arrays stay correct). Ragged
+    input falls back to to_pylist."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if (lens == lens[0]).all():
+        flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, int(lens[0]))
+    return np.asarray(col.to_pylist(), np.float64)
+
+
 class _BruteScorer:
     def __init__(self, queries_ref, k: int, vec_col: str, id_col: str) -> None:
         q = ray.get(queries_ref)                      # {qid: vector}
@@ -35,7 +55,7 @@ class _BruteScorer:
         self.k, self.vec_col, self.id_col = k, vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), np.float64))
+        vecs = _unit(vec_matrix(batch[self.vec_col]))
         ids = np.asarray(batch[self.id_col].to_pylist())
         sims = self.qmat @ vecs.T                     # (nq, nb)
         k = min(self.k, sims.shape[1])
@@ -91,7 +111,7 @@ class _LshScorer:
         self.qbuckets = (qsigns * (1 << np.arange(n_planes))).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), np.float64))
+        vecs = _unit(vec_matrix(batch[self.vec_col]))
         ids = np.asarray(batch[self.id_col].to_pylist())
         signs = (vecs @ self.planes) >= 0
         buckets = (signs * (1 << np.arange(self.n_planes))).sum(axis=1)
@@ -172,7 +192,7 @@ class _IvfScorer:
         self.qcells = np.argsort(-qsim, axis=1)[:, :n_probe]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _unit(np.asarray(batch[self.vec_col].to_pylist(), np.float64))
+        vecs = _unit(vec_matrix(batch[self.vec_col]))
         ids = np.asarray(batch[self.id_col].to_pylist())
         cells = np.argmax(vecs @ self.cent.T, axis=1)
         out_q, out_v, out_s = [], [], []

@@ -143,6 +143,27 @@ def test_embedding_bucket_cap(ray_session):
     assert out["a"].max() < 50 and out["b"].max() < 50
 
 
+def test_verify_jaccard_distributed_equals_driver(doc_ds):
+    """The partitioned verify (hash-partitioned pair dedup + two keyed
+    equi-joins + per-partition scoring) produces EXACTLY the driver
+    path's verified pairs — same (a, b) set, same rounded jaccard. This
+    is the scale path that replaces the r2 driver-side shingle map
+    (VERDICT r2 next-round #1)."""
+    from graphene_loader_ray.ops.dedup import minhash_dedup_pairs
+
+    def run(distributed):
+        out = minhash_dedup_pairs(doc_ds, threshold=0.3,
+                                  distributed=distributed).to_pandas()
+        return {(int(a), int(b)): j for a, b, j in
+                zip(out["a"], out["b"], out["jaccard"])}
+
+    driver = run(False)
+    dist = run(True)
+    assert driver == dist
+    assert driver            # the fixture actually produces verified pairs
+    assert (0, 1) in driver and driver[(0, 1)] == 1.0
+
+
 def test_near_dup_groups(doc_ds):
     """pairs → clusters: canonical = numeric-min doc id per component
     (distributed label propagation == driver union_find)."""
@@ -165,6 +186,32 @@ def test_near_dup_groups(doc_ds):
     got_dist = {r["doc_id"]: r["canonical_id"]
                 for r in near_dup_groups(ds2, distributed=True).take_all()}
     assert got_dist == want
+
+
+def test_simhash_vectorized_equals_reference_loop():
+    """The vectorized SimHash kernel (one bit-matrix op per doc over
+    cached word hashes) produces BIT-IDENTICAL signatures to the naive
+    per-word reference loop (the r2 implementation)."""
+    import re
+    from collections import Counter
+
+    from graphene_loader_ray.ops.dedup import SimHasher, _stable64
+
+    def ref_simhash(text: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        words = re.findall(r"\w+", text.lower())
+        if not words:
+            return 0
+        for w, c in Counter(words).items():
+            bits = (_stable64(w) >> np.arange(64, dtype=np.uint64)) & 1
+            acc += c * (2 * bits.astype(np.int64) - 1)
+        return sum(1 << i for i in range(64) if acc[i] > 0)
+
+    sh = SimHasher()
+    for t in ["", "one", "the quick brown fox the quick",
+              "Üñïçødé wörds 光合作用 test 123 123 123",
+              " ".join(f"w{i % 37}" for i in range(500))]:
+        assert sh.simhash(t) == ref_simhash(t), t
 
 
 def test_simhash_neardup(doc_ds):
