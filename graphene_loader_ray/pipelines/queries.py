@@ -484,6 +484,15 @@ def dedup_minhash_groups(sf_dir: str):
     return near_dup_groups(dedup_minhash(sf_dir))
 
 
+def dedup_ngram(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (distributed inverted index —
+    no LSH recall loss; DuckDB self-join twin hash-compares it)."""
+    from ..ops.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.1)
+
+
 def dedup_simhash(sf_dir: str):
     return simhash_signatures(_read(sf_dir, "documents",
                                     columns=["doc_id", "text"]))
@@ -609,6 +618,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
+    "dedup_ngram": dedup_ngram,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "knn_top10": knn_top10,
@@ -767,6 +777,30 @@ ORACLE_SQL = {
                    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'),
                    t -> NOT regexp_matches(t, '^\\s+$')))          AS n_bpe_tokens
         FROM documents
+    """,
+    # exact n-gram Jaccard: shingle self-join twin of the engine's
+    # inverted-index pipeline (n=3, threshold 0.1, filter on the unround
+    # value, half-up 6-decimal output — all mirrored)
+    "dedup_ngram": """
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+          FROM w WHERE len(ws) >= 3),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+        SELECT inter.a, inter.b,
+               round(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = inter.a
+        JOIN sizes sb ON sb.doc_id = inter.b
+        WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1
     """,
     # quality + lang-ID: the same expression tree as QualityScorer
     # (ASCII \w tokenization, identical operand order so IEEE doubles

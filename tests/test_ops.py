@@ -143,6 +143,58 @@ def test_embedding_bucket_cap(ray_session):
     assert out["a"].max() < 50 and out["b"].max() < 50
 
 
+def test_ngram_jaccard_exact(doc_ds):
+    """Inverted-index exact Jaccard: the planted exact dup scores 1.0,
+    the near dup scores high, unrelated docs are absent; results equal a
+    brute-force driver reference over the same shingle definition."""
+    import itertools
+    import re
+
+    from graphene_loader_ray.ops.dedup import ngram_jaccard_pairs
+
+    stats: dict = {}
+    out = ngram_jaccard_pairs(doc_ds, threshold=0.1,
+                              stats_out=stats).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    assert got[(0, 1)] == 1.0                  # exact dup
+    assert got[(0, 2)] > 0.5 and got[(3, 4)] > 0.5
+    assert stats == {"truncated_postings": 0, "dropped_docs": 0}
+
+    # brute-force reference on the driver
+    docs = {r["doc_id"]: r["text"] for r in doc_ds.take_all()}
+
+    def sh(t):
+        ws = re.findall(r"\w+", t.lower(), re.ASCII)
+        return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = sh(docs[a]), sh(docs[b])
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= 0.1:
+            want[(a, b)] = round(j, 6)
+    assert got == want
+
+
+def test_ngram_jaccard_truncation_reported(ray_session):
+    """A posting list longer than max_posting is cut AND reported —
+    never silent (house rule for every skew cap)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta shared boilerplate run"
+    ds = rd.from_items([{"doc_id": i, "text": text} for i in range(10)])
+    stats: dict = {}
+    out = ngram_jaccard_pairs(ds, threshold=0.5, max_posting=4,
+                              stats_out=stats).to_pandas()
+    assert stats["truncated_postings"] > 0
+    assert stats["dropped_docs"] > 0
+    got = {(a, b) for a, b in zip(out["a"], out["b"])}
+    assert (0, 1) in got                       # surviving docs still pair
+
+
 def test_verify_jaccard_distributed_equals_driver(doc_ds):
     """The partitioned verify (hash-partitioned pair dedup + two keyed
     equi-joins + per-partition scoring) produces EXACTLY the driver
