@@ -717,6 +717,20 @@ def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3,
 
 # --------------------------------------------------------------- embedding
 
+_PLANE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Seeded hyperplane matrix, cached per worker process (deterministic:
+    every worker derives the identical matrix from the fixed seed)."""
+    key = (dim, n_planes)
+    p = _PLANE_CACHE.get(key)
+    if p is None:
+        p = _PLANE_CACHE[key] = np.random.default_rng(7).standard_normal(
+            (dim, n_planes))
+    return p
+
+
 def embedding_neardup_pairs(embs: Dataset, threshold: float = 0.95,
                             n_planes: int = 8,
                             vec_col: str = "embedding",
@@ -735,30 +749,22 @@ def embedding_neardup_pairs(embs: Dataset, threshold: float = 0.95,
     guard as the minhash path (VERDICT r1 "What's wrong" #3). Buckets are
     hash-partitioned (one pandas call per partition, not per key)."""
 
-    class Bucketizer:
-        """Hyperplane state generated ONCE per actor (house style:
-        state in __init__/first-use, not per batch); the seed is fixed so
-        every actor derives the identical matrix. Dim comes from the
-        first non-empty batch (zero-copy vec_matrix, no per-row Python)."""
-
-        def __init__(self) -> None:
-            self.planes: np.ndarray | None = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from .similarity import vec_matrix
-            vecs = vec_matrix(batch[vec_col])
-            if vecs.shape[0] == 0:
-                return pa.table({"bucket": pa.array([], pa.int64()),
-                                 "vec_id": batch[id_col],
-                                 "vec": batch[vec_col]})
-            if self.planes is None:
-                self.planes = np.random.default_rng(7).standard_normal(
-                    (vecs.shape[1], n_planes))
-            signs = (vecs @ self.planes) >= 0
-            keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            return pa.table({"bucket": pa.array(keys, pa.int64()),
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from .similarity import vec_matrix
+        vecs = vec_matrix(batch[vec_col])                 # zero-copy flatten
+        if vecs.shape[0] == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
                              "vec_id": batch[id_col],
                              "vec": batch[vec_col]})
+        # plane matrix from a process-lived seeded cache: generated once
+        # per worker process (plain tasks reuse workers), not per batch —
+        # and no actor-pool spin-up for a stage this light
+        planes = _hyperplanes(vecs.shape[1], n_planes)
+        signs = (vecs @ planes) >= 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pa.table({"bucket": pa.array(keys, pa.int64()),
+                         "vec_id": batch[id_col],
+                         "vec": batch[vec_col]})
 
     def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -788,8 +794,7 @@ def embedding_neardup_pairs(embs: Dataset, threshold: float = 0.95,
 
     from .partition import group_partitioned
     marked = group_partitioned(
-        embs.map_batches(Bucketizer, batch_format="pyarrow",
-                         concurrency=(1, 8)),
+        embs.map_batches(bucketize, batch_format="pyarrow"),
         ["bucket"], pairs_part).materialize()       # pair-scale, small
     if stats_out is not None:
         trunc = marked.map_batches(

@@ -98,12 +98,16 @@ class QualityScorer:
     K_GRAM = 8
     WINDOW = 4
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 with_fingerprint: bool = True) -> None:
         # re.ASCII like TokenCounter: \w == [0-9A-Za-z_] exactly as in
         # DuckDB's RE2, so the SQL twin tokenizes identically
         self.token_re = re.compile(TOKEN_PATTERN, re.ASCII)
         self.word_re = re.compile(WORD_PATTERN, re.ASCII)
         self.text_col, self.id_col = text_col, id_col
+        # the rolling-hash fingerprint costs ~as much as everything else
+        # combined; quality-only consumers switch it off
+        self.with_fingerprint = with_fingerprint
 
     @staticmethod
     def _gram_hash(s: str) -> int:
@@ -156,7 +160,8 @@ class QualityScorer:
             # the quarter-valued halfway cases the /4.0 mean produces
             q_raw = (len_band + word_share + stop_band + mwl_band) / 4.0
             q = math.floor(q_raw * 1e6 + 0.5) / 1e6
-            fp, nfp = self._fingerprint(text)
+            fp, nfp = self._fingerprint(text) if self.with_fingerprint \
+                else ("", 0)
             out["quality"].append(q)
             out["lang_guess"].append(self._lang(words_lower, text))
             out["fingerprint"].append(fp)
@@ -175,6 +180,9 @@ def token_stats(docs: Dataset, concurrency=(1, 8)) -> Dataset:
                             batch_size=2048, concurrency=concurrency)
 
 
-def quality(docs: Dataset, concurrency=(1, 8)) -> Dataset:
-    return docs.map_batches(QualityScorer, batch_format="pyarrow",
-                            batch_size=2048, concurrency=concurrency)
+def quality(docs: Dataset, concurrency=(1, 8),
+            with_fingerprint: bool = True) -> Dataset:
+    return docs.map_batches(
+        QualityScorer, batch_format="pyarrow", batch_size=2048,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"with_fingerprint": with_fingerprint})

@@ -457,7 +457,8 @@ def text_statistics(sf_dir: str):
 def text_quality(sf_dir: str):
     """Quality score + language guess — SQL-expressible projection of the
     QualityScorer actor stage (DuckDB twin hash-compares it)."""
-    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"])) \
+    return quality(_read(sf_dir, "documents", columns=["doc_id", "text"]),
+                   with_fingerprint=False) \
         .map_batches(lambda t: t.select(["doc_id", "quality", "lang_guess"]),
                      batch_format="pyarrow")
 
