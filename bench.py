@@ -149,8 +149,9 @@ def run_pages_child() -> None:
 
     # fixed pool at NCPU minus ~1/8 headroom: a pool reserving EVERY cpu
     # starves the read/write tasks (livelock); an autoscaling (1, N) pool
-    # ramps too slowly to use N CPUs within a short job
-    pool = _pool(NCPU)
+    # ramps too slowly to use N CPUs within a short job.
+    # GRAFT_BENCH_POOL overrides for pool-size experiments.
+    pool = int(os.environ.get("GRAFT_BENCH_POOL", "0")) or _pool(NCPU)
     # warmup execution: spawn + import-warm the Ray worker processes with
     # a one-file pass through the SAME fused stage, so the timed window
     # measures steady-state throughput, not one-time cluster cold-start
@@ -172,7 +173,8 @@ def run_pages_child() -> None:
     # dispatch-bound (600 tasks at 28 actors = a 20 s floor) while
     # too-few tasks lose load balance
     n_docs = n_pages * repeat
-    batch = min(32768, max(4096, n_docs // (pool * 12)))
+    rounds = int(os.environ.get("GRAFT_BENCH_ROUNDS", "12"))
+    batch = min(32768, max(2048, n_docs // (pool * rounds)))
     t0 = time.time()
     run_pages_stage(fixture, out, kb_dir, n_partitions=1,
                     concurrency=pool, batch_size=batch, repeat=repeat)
