@@ -538,8 +538,13 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
                          "doc_id": pa.array(d_out, pa.int64())})
 
     def posting_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        """Pairs + in-partition partial intersection counts; truncated
-        postings emit a marker row (a=-1, b=#docs dropped)."""
+        """Pairs + in-partition partial intersection counts. A truncated
+        posting emits two marker rows keyed so the downstream (a, b)
+        count-SUM aggregates them exactly: (a=-1, b=0, i_part=#dropped)
+        sums to the total dropped docs and (a=-1, b=1, i_part=1) sums to
+        the number of truncated postings. (Keying a marker by its dropped
+        COUNT would collapse distinct postings that drop the same number
+        of docs into one group and undercount both stats.)"""
         rows: list[tuple[int, int]] = []
         markers: list[tuple[int, int, int]] = []
         for _, g in part.groupby("s", sort=False):
@@ -547,7 +552,8 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
             if len(ds_) < 2:
                 continue
             if len(ds_) > max_posting:
-                markers.append((-1, len(ds_) - max_posting, 1))
+                markers.append((-1, 0, len(ds_) - max_posting))
+                markers.append((-1, 1, 1))
                 ds_ = ds_[:max_posting]
             rows.extend(itertools.combinations(ds_, 2))
         if not rows and not markers:
@@ -572,12 +578,15 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
         num_partitions=num_partitions).materialize()   # candidate-scale
 
     if stats_out is not None:
-        trunc = inter.map_batches(
-            lambda t: t.filter(pa.compute.equal(t["a"], -1)),
-            batch_format="pyarrow")
-        stats_out["truncated_postings"] = trunc.count()
-        stats_out["dropped_docs"] = int(trunc.sum("b") or 0) \
-            if stats_out["truncated_postings"] else 0
+        # ≤2 marker rows total after the sum: (b=0, i=dropped docs),
+        # (b=1, i=truncated postings)
+        marks = {int(b): int(i) for mb in inter.map_batches(
+                     lambda t: t.filter(pa.compute.equal(t["a"], -1)),
+                     batch_format="pyarrow").iter_batches(
+                         batch_format="pyarrow")
+                 for b, i in zip(mb["b"].to_pylist(), mb["i"].to_pylist())}
+        stats_out["truncated_postings"] = marks.get(1, 0)
+        stats_out["dropped_docs"] = marks.get(0, 0)
     cand = inter.map_batches(
         lambda t: t.filter(pa.compute.greater_equal(t["a"], 0)),
         batch_format="pyarrow")

@@ -189,8 +189,11 @@ def test_ngram_jaccard_truncation_reported(ray_session):
     stats: dict = {}
     out = ngram_jaccard_pairs(ds, threshold=0.5, max_posting=4,
                               stats_out=stats).to_pandas()
-    assert stats["truncated_postings"] > 0
-    assert stats["dropped_docs"] > 0
+    # 7 words -> 5 distinct shingles, each posted by all 10 docs and cut
+    # to 4: EXACT totals (postings dropping the same #docs must not
+    # collapse into one reported row)
+    assert stats["truncated_postings"] == 5
+    assert stats["dropped_docs"] == 30
     got = {(a, b) for a, b in zip(out["a"], out["b"])}
     assert (0, 1) in got                       # surviving docs still pair
 
