@@ -44,7 +44,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "supplier_region_stats", "part_type_stats",
                "distinct_segments", "approx_distinct_users", "dedup_exact",
                "sample_documents", "shuffled_documents", "dedup_minhash",
-               "dedup_ngram", "dedup_simhash", "dedup_embedding", "text_stats",
+               "dedup_ngram", "dedup_simhash", "dedup_embedding",
+               "dedup_embedding_exact", "text_stats",
                "text_quality", "text_fingerprint", "knn_top10", "knn_top10_lsh",
                "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
                "user_sessions", "purchase_asof_click", "purchase_nearby_clicks",

@@ -740,6 +740,76 @@ def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
     return p
 
 
+class _ExactCosineScorer:
+    """All-pairs scorer against the broadcast unit-normalized corpus
+    matrix: one float64 matmul per batch, no Python row loop. The (a < b)
+    mask keeps each unordered pair exactly once."""
+
+    def __init__(self, corpus_ref, threshold: float, vec_col: str,
+                 id_col: str) -> None:
+        import ray
+        self.ids, self.unit = ray.get(corpus_ref)   # (N,), (N, dim)
+        self.threshold = threshold
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .similarity import _unit, vec_matrix
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        vecs = _unit(vec_matrix(batch[self.vec_col]))
+        bids = np.asarray(batch[self.id_col].to_pylist(), np.int64)
+        # round then threshold, exactly like the DuckDB twin (the same
+        # 6-decimal total order knn_brute hash-matches with)
+        sims = np.round(vecs @ self.unit.T, 6)            # (nb, N)
+        mask = (sims >= self.threshold) & (bids[:, None] < self.ids[None, :])
+        bi, cj = np.nonzero(mask)
+        return pa.table({"a": pa.array(bids[bi], pa.int64()),
+                         "b": pa.array(self.ids[cj], pa.int64()),
+                         "cosine": pa.array(sims[bi, cj], pa.float64())})
+
+
+def embedding_neardup_exact(embs: Dataset, threshold: float = 0.4,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            batch_size: int = 4096,
+                            concurrency=(1, 8)) -> Dataset:
+    """EXACT all-pairs cosine near-dup — the no-recall-loss verification
+    baseline of the embedding dedup family (``embedding_neardup_pairs``
+    is the LSH-bucketed scale path whose recall this measures; same role
+    ``ngram_jaccard_pairs`` plays for MinHash and ``knn_brute`` for ANN).
+
+    Shape: ONE driver pass builds the (N, dim) unit-normalized corpus
+    matrix, ``ray.put`` broadcasts it once, and every batch scores
+    against it with a single float64 matmul, emitting (a < b) pairs at
+    rounded cosine ≥ threshold. Documented bound: compute is inherently
+    O(N²/batch) and the broadcast matrix is corpus-scale — this is the
+    exactness oracle and small-N path; at corpus scale use the LSH
+    variant and sample-audit its recall with this one."""
+    import ray
+
+    ids_l: list[np.ndarray] = []
+    mats: list[np.ndarray] = []
+    from .similarity import _unit, vec_matrix
+    for b in embs.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if b.num_rows:
+            ids_l.append(np.asarray(b[id_col].to_pylist(), np.int64))
+            mats.append(vec_matrix(b[vec_col]))
+    if not ids_l:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                       "b": pa.array([], pa.int64()),
+                                       "cosine": pa.array([], pa.float64())}))
+    corpus_ref = ray.put((np.concatenate(ids_l),
+                          _unit(np.concatenate(mats))))
+    return embs.map_batches(
+        _ExactCosineScorer,
+        fn_constructor_args=(corpus_ref, threshold, vec_col, id_col),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
 def embedding_neardup_pairs(embs: Dataset, threshold: float = 0.95,
                             n_planes: int = 8,
                             vec_col: str = "embedding",

@@ -509,6 +509,17 @@ def dedup_embedding(sf_dir: str):
         threshold=0.4, n_planes=2)
 
 
+def dedup_embedding_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup (broadcast corpus matrix, one
+    matmul per batch) — the no-recall-loss baseline the LSH
+    dedup_embedding approximates; DuckDB self-join twin hash-compares
+    it. Same τ=0.4 as dedup_embedding (see its comment)."""
+    from ..ops.dedup import embedding_neardup_exact
+    return embedding_neardup_exact(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        threshold=0.4)
+
+
 def _query_vectors(sf_dir: str) -> dict[int, list[float]]:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
@@ -622,6 +633,7 @@ QUERIES = {
     "dedup_ngram": dedup_ngram,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_exact": dedup_embedding_exact,
     "knn_top10": knn_top10,
     "knn_top10_lsh": knn_top10_lsh,
     "knn_top10_ivf": knn_top10_ivf,
@@ -854,6 +866,18 @@ ORACLE_SQL = {
                     ELSE 'fr'
                END AS lang_guess
         FROM b
+    """,
+    # exact all-pairs cosine near-dup: self-join twin of the engine's
+    # broadcast-matmul scorer (τ=0.4; round-then-threshold both sides,
+    # same 6-decimal rounding knn_top10 hash-matches with)
+    "dedup_embedding_exact": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                   FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b,
+               round(list_cosine_similarity(x.emb, y.emb), 6) AS cosine
+        FROM e x
+        JOIN e y ON x.vec_id < y.vec_id
+        WHERE round(list_cosine_similarity(x.emb, y.emb), 6) >= 0.4
     """,
     # exact brute-force cosine top-k IS SQL-expressible (DuckDB
     # list_cosine_similarity); same 6-decimal rounding + (score desc,

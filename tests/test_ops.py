@@ -298,6 +298,45 @@ def test_embedding_neardup(ray_session):
     assert all(a in (0, 5) and b in (20, 21) for a, b in got)
 
 
+def test_embedding_neardup_exact(ray_session):
+    """Exact all-pairs cosine: equals a numpy brute-force reference, and
+    the LSH path's pairs are a subset with identical rounded cosines
+    (the recall-audit relationship the docstring promises)."""
+    import itertools
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.dedup import (embedding_neardup_exact,
+                                               embedding_neardup_pairs)
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 32))
+    vecs = list(base)
+    vecs.append(base[0] + 0.01 * rng.standard_normal(32))   # near-dup of 0
+    vecs.append(base[5])                                     # exact dup of 5
+    ds = rd.from_items([{"vec_id": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)])
+    out = embedding_neardup_exact(ds, threshold=0.3,
+                                  batch_size=7).to_pandas()
+    got = {(int(a), int(b)): c
+           for a, b, c in zip(out["a"], out["b"], out["cosine"])}
+
+    m = np.asarray(vecs)
+    unit = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(unit @ unit.T, 6)
+    want = {(i, j): sims[i, j]
+            for i, j in itertools.combinations(range(len(vecs)), 2)
+            if sims[i, j] >= 0.3}
+    assert got == want
+    assert got[(5, 21)] == 1.0 and got[(0, 20)] > 0.99
+
+    lsh = embedding_neardup_pairs(ds, threshold=0.3).to_pandas()
+    lsh_pairs = {(int(a), int(b)): c
+                 for a, b, c in zip(lsh["a"], lsh["b"], lsh["cosine"])}
+    assert set(lsh_pairs) <= set(got)
+    assert all(got[p] == c for p, c in lsh_pairs.items())
+
+
 def test_knn_brute_matches_numpy(ray_session):
     import ray.data as rd
 
