@@ -36,6 +36,7 @@ from ray.data import Dataset
 _MERSENNE = (1 << 31) - 1
 
 _WORD_RE = re.compile(r"\w+")
+_WORD_RE_ASCII = re.compile(r"\w+", re.ASCII)
 
 # odd multipliers for the vectorized n-gram mix (wraparound uint64 product
 # is a bijection per position, so position order matters in the shingle)
@@ -67,15 +68,18 @@ class ShingleHasher:
     # correctness is unaffected (hashes are pure recomputations).
     MAX_CACHE = 1_000_000
 
-    def __init__(self, n: int = 3) -> None:
+    def __init__(self, n: int = 3, ascii_words: bool = False) -> None:
         self.n = n
+        # ascii_words: tokenize with ASCII \w (DuckDB RE2 parity — the
+        # exact-Jaccard path); default keeps the minhash tokenizer
+        self._re = _WORD_RE_ASCII if ascii_words else _WORD_RE
         self._word_cache: dict[str, int] = {}
 
     def word_hashes(self, text: str) -> np.ndarray:
         cache = self._word_cache
         if len(cache) > self.MAX_CACHE:
             cache.clear()
-        words = _WORD_RE.findall(text.lower())
+        words = self._re.findall(text.lower())
         out = np.empty(len(words), dtype=np.uint64)
         for i, w in enumerate(words):
             h = cache.get(w)
@@ -84,11 +88,16 @@ class ShingleHasher:
             out[i] = h
         return out
 
-    def shingle_hashes(self, text: str) -> np.ndarray:
-        """Distinct shingle hashes for one doc (unsorted, deduped)."""
+    def shingle_hashes(self, text: str, strict: bool = False) -> np.ndarray:
+        """Distinct shingle hashes for one doc (sorted, deduped).
+
+        ``strict=False`` (minhash default): a doc shorter than n words
+        shingles at its own length. ``strict=True`` (exact-Jaccard
+        semantics, matching the string-shingle definition and the DuckDB
+        twin): fewer than n words → no shingles."""
         wh = self.word_hashes(text)
         n = self.n
-        if len(wh) == 0:
+        if len(wh) == 0 or (strict and len(wh) < n):
             return np.empty(0, dtype=np.uint64)
         if len(wh) < n:
             n = len(wh)
@@ -493,10 +502,23 @@ def near_dup_groups(pairs: Dataset,
 
 # ----------------------------------------------------- exact n-gram Jaccard
 
+_ASCII_SHINGLER_CACHE: dict[int, ShingleHasher] = {}
+
+
+def _ascii_shingler(n: int) -> ShingleHasher:
+    """Process-lived ASCII-tokenizing shingler (word-hash cache survives
+    across batches on the same worker)."""
+    sh = _ASCII_SHINGLER_CACHE.get(n)
+    if sh is None:
+        sh = _ASCII_SHINGLER_CACHE[n] = ShingleHasher(n, ascii_words=True)
+    return sh
+
+
 def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_posting: int = 128, num_partitions: int = 16,
-                        stats_out: dict | None = None) -> Dataset:
+                        stats_out: dict | None = None,
+                        hashed: bool = False) -> Dataset:
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted index — the no-recall-loss member of the dedup family
     (MinHash+LSH approximates exactly this; hash-green against a DuckDB
@@ -515,17 +537,30 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
     affected intersections, so it is REPORTED via ``stats_out``
     ({"truncated_postings", "dropped_docs"}) — at the default cap a
     stop-word-free shingle rarely exceeds it, and the SQL twin is only
-    byte-comparable on inputs with no truncation."""
+    byte-comparable on inputs with no truncation.
+
+    ``hashed=True`` is the 100-TB knob: shingles travel as vectorized
+    64-bit hashes (ShingleHasher, ASCII tokenizer, strict <n→empty rule)
+    instead of ~3-word strings — ~4× less shuffle volume and no per-doc
+    string building. Output equals the string mode except where distinct
+    shingles collide in 64 bits (~n²/2⁶⁵ per posting — negligible; the
+    string mode remains the SQL-twin-comparable form)."""
     import ray
     import ray.data as rd
 
-    word_re = re.compile(r"\w+", re.ASCII)   # DuckDB RE2 \w parity
+    word_re = _WORD_RE_ASCII                 # DuckDB RE2 \w parity
 
     def doc_shingles(text: str) -> list[str]:
         ws = word_re.findall((text or "").lower())
         if len(ws) < n:
             return []
         return sorted({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)})
+
+    def n_shingles(text: str) -> int:
+        if hashed:
+            return _ascii_shingler(n).shingle_hashes(text or "",
+                                                     strict=True).size
+        return len(doc_shingles(text))
 
     def explode(batch: pa.Table) -> pa.Table:
         s_out, d_out = [], []
@@ -536,6 +571,21 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
             d_out.extend([d] * len(sh))
         return pa.table({"s": pa.array(s_out, pa.string()),
                          "doc_id": pa.array(d_out, pa.int64())})
+
+    def explode_hashed(batch: pa.Table) -> pa.Table:
+        sh = _ascii_shingler(n)
+        hs, ds2 = [], []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            h = sh.shingle_hashes(t or "", strict=True)
+            if h.size:
+                hs.append(h)
+                ds2.append(np.full(h.size, d, dtype=np.int64))
+        if not hs:
+            return pa.table({"s": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({"s": pa.array(np.concatenate(hs)),
+                         "doc_id": pa.array(np.concatenate(ds2))})
 
     def posting_pairs(part: pd.DataFrame) -> pd.DataFrame:
         """Pairs + in-partition partial intersection counts. A truncated
@@ -569,7 +619,8 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
 
     from .partition import group_partitioned
     partials = group_partitioned(
-        docs.map_batches(explode, batch_format="pyarrow"),
+        docs.map_batches(explode_hashed if hashed else explode,
+                         batch_format="pyarrow"),
         ["s"], posting_pairs, num_partitions=num_partitions)
     inter = group_partitioned(
         partials, ["a", "b"],
@@ -601,7 +652,7 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
         keep = pa.array([i in ids for i in batch[id_col].to_pylist()],
                         pa.bool_())
         kept = batch.filter(keep)
-        ns = [len(doc_shingles(t)) for t in kept[text_col].to_pylist()]
+        ns = [n_shingles(t) for t in kept[text_col].to_pylist()]
         return pa.table({"doc_id": kept[id_col],
                          "n_sh": pa.array(ns, pa.int64())})
 

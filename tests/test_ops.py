@@ -198,6 +198,35 @@ def test_ngram_jaccard_truncation_reported(ray_session):
     assert (0, 1) in got                       # surviving docs still pair
 
 
+def test_ngram_jaccard_hashed_equals_strings(doc_ds):
+    """The hashed scale mode (uint64 shingles through the shuffle)
+    produces the same verified pairs + scores as the SQL-comparable
+    string mode — incl. on non-ASCII text (both tokenize with ASCII \\w)
+    and sub-n docs (strict rule: <n words -> no shingles)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.dedup import ngram_jaccard_pairs
+
+    extra = rd.from_items([
+        {"doc_id": 100, "text": "Üñï wörds 光 the quick brown fox jumps"},
+        {"doc_id": 101, "text": "Üñï wörds 光 the quick brown fox jumps"},
+        {"doc_id": 102, "text": "two words"},
+    ])
+    ds = doc_ds.union(extra)
+
+    def run(hashed):
+        out = ngram_jaccard_pairs(ds, threshold=0.1,
+                                  hashed=hashed).to_pandas()
+        return {(int(a), int(b)): j for a, b, j in
+                zip(out["a"], out["b"], out["jaccard"])}
+
+    strings = run(False)
+    hashed = run(True)
+    assert strings == hashed
+    assert (100, 101) in strings and strings[(100, 101)] == 1.0
+    assert not any(102 in p for p in strings)
+
+
 def test_verify_jaccard_distributed_equals_driver(doc_ds):
     """The partitioned verify (hash-partitioned pair dedup + two keyed
     equi-joins + per-partition scoring) produces EXACTLY the driver
