@@ -101,11 +101,21 @@ class ShingleHasher:
             return np.empty(0, dtype=np.uint64)
         if len(wh) < n:
             n = len(wh)
-        with np.errstate(over="ignore"):
-            acc = _MIX[0] * wh[:len(wh) - n + 1]
-            for j in range(1, n):
-                acc = acc ^ (_MIX[j % len(_MIX)] * wh[j:len(wh) - n + 1 + j])
-        return np.unique(acc)
+        return np.unique(combine_ngram_hashes(wh, n))
+
+
+def combine_ngram_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """All positional n-gram hashes over a word-hash array (one per window,
+    duplicates kept, document order). The multiply-xor mix is a bijection
+    per position, so distinct n-grams collide only at the 64-bit level —
+    the documented assumption every hashed-shingle path here shares."""
+    if len(wh) < n:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = _MIX[0] * wh[:len(wh) - n + 1]
+        for j in range(1, n):
+            acc = acc ^ (_MIX[j % len(_MIX)] * wh[j:len(wh) - n + 1 + j])
+    return acc
 
 
 # ------------------------------------------------------------------- exact

@@ -463,6 +463,15 @@ def text_quality(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition signals (dup-word fraction, top-bigram /
+    top-trigram share) — the repetitious-boilerplate filter of a web-scale
+    training-data pipeline; DuckDB twin hash-compares it."""
+    from ..ops.textstats import repetition_stats
+    return repetition_stats(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
 def text_fingerprint(sf_dir: str):
     """Winnowing document fingerprint — the non-SQL half of the quality
     stage (rolling keyed hashes), rows-only driver check + unit tests."""
@@ -627,6 +636,7 @@ QUERIES = {
     "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,
+    "text_repetition": text_repetition,
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
@@ -866,6 +876,46 @@ ORACLE_SQL = {
                     ELSE 'fr'
                END AS lang_guess
         FROM b
+    """,
+    # Gopher-style repetition signals: word-level dup fraction + top
+    # bigram/trigram share (same ASCII-\w-over-lower tokenization and
+    # half-up 6-decimal rounding as the engine; 1-indexed list windows
+    # like dedup_ngram's shingle CTE)
+    "text_repetition": """
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(ws) AS nw, len(list_distinct(ws)) AS nd
+          FROM w),
+        bg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i+1])) AS g
+          FROM w WHERE len(ws) >= 2),
+        bgm AS (
+          SELECT doc_id, max(c) AS mc FROM (
+            SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+          GROUP BY doc_id),
+        tg AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+                                i -> ws[i] || ' ' || ws[i+1] || ' '
+                                     || ws[i+2])) AS g
+          FROM w WHERE len(ws) >= 3),
+        tgm AS (
+          SELECT doc_id, max(c) AS mc FROM (
+            SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g)
+          GROUP BY doc_id)
+        SELECT base.doc_id, nw AS n_words,
+               CASE WHEN nw = 0 THEN 0.0
+                    ELSE round(1 - nd / CAST(nw AS DOUBLE), 6)
+               END AS dup_word_frac,
+               coalesce(round(bgm.mc / CAST(nw - 1 AS DOUBLE), 6), 0.0)
+                   AS top_bigram_frac,
+               coalesce(round(tgm.mc / CAST(nw - 2 AS DOUBLE), 6), 0.0)
+                   AS top_trigram_frac
+        FROM base
+        LEFT JOIN bgm ON bgm.doc_id = base.doc_id
+        LEFT JOIN tgm ON tgm.doc_id = base.doc_id
     """,
     # exact all-pairs cosine near-dup: self-join twin of the engine's
     # broadcast-matmul scorer (τ=0.4; round-then-threshold both sides,

@@ -466,6 +466,37 @@ def test_text_stats_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(out, gold, check_dtype=False)
 
 
+def test_repetition_vs_duckdb(ray_session):
+    """RepetitionScorer (hashed n-grams) equals the string-exact DuckDB
+    computation on real docs + planted degenerate cases."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.textstats import repetition_stats
+    from graphene_loader_ray.pipelines.queries import ORACLE_SQL
+
+    sf = "/root/testdata/sf0.001"
+    extra = pa.table({
+        "doc_id": pa.array([90001, 90002, 90003, 90004], pa.int64()),
+        "text": pa.array(["", "word", "spam spam spam spam",
+                          "a b a b a b c"], pa.string())})
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]) \
+        .union(rd.from_arrow(extra))
+    out = repetition_stats(docs).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS
+        SELECT doc_id, text FROM '{sf}/documents.parquet'
+        UNION ALL SELECT * FROM extra""")
+    gold = con.execute(ORACLE_SQL["text_repetition"]
+                       + " ORDER BY 1").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    # the planted all-same doc is maximally repetitious
+    spam = out[out["doc_id"] == 90003].iloc[0]
+    assert spam["dup_word_frac"] == 0.75 and spam["top_bigram_frac"] == 1.0
+
+
 def test_quality_and_langid(doc_ds):
     from graphene_loader_ray.ops.textstats import quality
 
