@@ -503,6 +503,28 @@ def dedup_ngram(sf_dir: str):
         threshold=0.1)
 
 
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (train-test overlap): docs whose doc_id
+    is divisible by 97 stand in for the eval set; every other doc is
+    flagged if it shares any word trigram with them. Broadcast membership
+    scan — no shuffle (ops/decontam.py); DuckDB twin hash-compares it.
+    (n=3 instead of the production n=13 so the small-vocab synthetic docs
+    produce a non-degenerate contaminated/clean mix.)"""
+    from ..ops.decontam import benchmark_ngram_set, flag_contamination
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def mod_filter(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if want_bench else ~m))
+        return f
+
+    bench = docs.map_batches(mod_filter(True), batch_format="pyarrow")
+    corpus = docs.map_batches(mod_filter(False), batch_format="pyarrow")
+    return flag_contamination(corpus, benchmark_ngram_set(bench, n=3), n=3)
+
+
 def dedup_simhash(sf_dir: str):
     return simhash_signatures(_read(sf_dir, "documents",
                                     columns=["doc_id", "text"]))
@@ -641,6 +663,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
     "dedup_ngram": dedup_ngram,
+    "decontaminate_docs": decontaminate_docs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_exact": dedup_embedding_exact,
@@ -824,6 +847,32 @@ ORACLE_SQL = {
         JOIN sizes sa ON sa.doc_id = inter.a
         JOIN sizes sb ON sb.doc_id = inter.b
         WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1
+    """,
+    # benchmark decontamination: docs sharing any word trigram with the
+    # doc_id%97==0 "eval set" (strict shingling — <3-word docs have no
+    # trigrams; distinct-per-doc grams counted, same as the engine)
+    "decontaminate_docs": """
+        WITH w AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS ws
+          FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+          FROM w WHERE len(ws) >= 3),
+        bench AS (
+          SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT sh.doc_id, count(*) AS n_hit
+          FROM sh JOIN bench USING (s)
+          WHERE sh.doc_id % 97 <> 0
+          GROUP BY sh.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+               coalesce(hits.n_hit, 0) > 0 AS contaminated
+        FROM documents d
+        LEFT JOIN hits ON hits.doc_id = d.doc_id
+        WHERE d.doc_id % 97 <> 0
     """,
     # quality + lang-ID: the same expression tree as QualityScorer
     # (ASCII \w tokenization, identical operand order so IEEE doubles

@@ -497,6 +497,52 @@ def test_repetition_vs_duckdb(ray_session):
     assert spam["dup_word_frac"] == 0.75 and spam["top_bigram_frac"] == 1.0
 
 
+def test_decontamination_planted(ray_session):
+    """flag_contamination: a doc quoting ≥n consecutive benchmark words is
+    flagged, unrelated/short docs are not; n_hit counts distinct shared
+    n-grams."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.decontam import (benchmark_ngram_set,
+                                                  flag_contamination)
+
+    bench = rd.from_items([
+        {"doc_id": 0, "text": "the capital of france is paris indeed"}])
+    corpus = rd.from_items([
+        {"doc_id": 1, "text": "quiz says the capital of france is paris"},
+        {"doc_id": 2, "text": "unrelated words about arrow record batches"},
+        {"doc_id": 3, "text": "capital of"},                 # < n words
+        {"doc_id": 4, "text": "france is paris indeed today"}])
+    out = flag_contamination(corpus, benchmark_ngram_set(bench, n=3), n=3) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert bool(out.loc[1, "contaminated"]) is True
+    # "the capital of france is paris" shares 4 of the bench trigrams
+    assert out.loc[1, "n_hit"] == 4
+    assert bool(out.loc[2, "contaminated"]) is False
+    assert bool(out.loc[3, "contaminated"]) is False and out.loc[3, "n_hit"] == 0
+    assert out.loc[4, "n_hit"] == 2   # "france is paris", "is paris indeed"
+
+
+def test_decontamination_vs_duckdb(ray_session):
+    """Engine (hashed trigrams, broadcast scan) equals the string-exact
+    SQL twin on the sf0.001 documents."""
+    import duckdb
+
+    from graphene_loader_ray.pipelines.queries import (ORACLE_SQL,
+                                                       decontaminate_docs)
+
+    sf = "/root/testdata/sf0.001"
+    out = decontaminate_docs(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    gold = con.execute(ORACLE_SQL["decontaminate_docs"]
+                       + " ORDER BY 1").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    assert out["contaminated"].any()          # non-degenerate fixture
+
+
 def test_quality_and_langid(doc_ds):
     from graphene_loader_ray.ops.textstats import quality
 
