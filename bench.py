@@ -51,6 +51,7 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
                "user_sessions", "purchase_asof_click", "purchase_nearby_clicks",
                "dedup_minhash_groups", "decontaminate_docs",
+               "scrub_event_props",
                "multimodal_features"]
 
 

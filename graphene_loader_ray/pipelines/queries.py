@@ -503,6 +503,19 @@ def dedup_ngram(sf_dir: str):
         threshold=0.1)
 
 
+def scrub_event_props(sf_dir: str):
+    """PII/sensitive-token scrub over the events payload column: counts +
+    cascaded redaction per rule family (email → IPv4 → phone → number).
+    The engine and the DuckDB twin run the SAME RE2 pattern strings (both
+    are RE2), and the twin SQL is GENERATED from the rule list — dialect
+    drift is impossible by construction. The synthetic props only exercise
+    the number rule; email/ip/phone are pinned on literal fixtures in
+    test_scrub_rules."""
+    from ..ops.scrub import scrub
+    return scrub(_read(sf_dir, "events", columns=["event_id", "props"]),
+                 "props", "event_id")
+
+
 def decontaminate_docs(sf_dir: str):
     """Benchmark decontamination (train-test overlap): docs whose doc_id
     is divisible by 97 stand in for the eval set; every other doc is
@@ -663,6 +676,7 @@ QUERIES = {
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
     "dedup_ngram": dedup_ngram,
+    "scrub_event_props": scrub_event_props,
     "decontaminate_docs": decontaminate_docs,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding": dedup_embedding,
@@ -848,6 +862,9 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = inter.b
         WHERE i / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.1
     """,
+    # PII scrub: twin GENERATED from the same RE2 rule list the engine
+    # runs (see ops/scrub.py:scrub_sql) — inserted below after the dict
+    # literal so both stay in lockstep automatically.
     # benchmark decontamination: docs sharing any word trigram with the
     # doc_id%97==0 "eval set" (strict shingling — <3-word docs have no
     # trigrams; distinct-per-doc grams counted, same as the engine)
@@ -1003,3 +1020,8 @@ ORACLE_SQL = {
     # scoring, full KG pipeline) -> rows-only driver check; correctness
     # carried by pytest vs oracle / brute-force references.
 }
+
+# generated twin (same rule list as the engine — see ops/scrub.py)
+from ..ops.scrub import scrub_sql as _scrub_sql  # noqa: E402
+
+ORACLE_SQL["scrub_event_props"] = _scrub_sql("events", "props", "event_id")

@@ -497,6 +497,40 @@ def test_repetition_vs_duckdb(ray_session):
     assert spam["dup_word_frac"] == 0.75 and spam["top_bigram_frac"] == 1.0
 
 
+def test_scrub_rules(ray_session):
+    """Each scrub rule fires on a literal fixture; the cascade order holds
+    (an email's digits never reach the number rule); engine output equals
+    the generated DuckDB twin byte-for-byte."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.scrub import scrub, scrub_sql
+
+    rows = pa.table({
+        "rid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "txt": pa.array([
+            "contact alice.smith+spam@example.co.uk or bob@x.io today",
+            "server 10.0.255.3 and 192.168.1.1 rebooted",
+            "call +1 (415) 555-0133 now",
+            "order 12345 qty 7",
+            "no sensitive content here"], pa.string())})
+    out = scrub(rd.from_arrow(rows), "txt", "rid").to_pandas() \
+        .set_index("rid").sort_index()
+    assert out.loc[1, "n_email"] == 2
+    assert out.loc[1, "redacted"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[2, "n_ip"] == 2 and "<IP>" in out.loc[2, "redacted"]
+    assert out.loc[3, "n_phone"] == 1
+    assert out.loc[3, "redacted"] == "call <PHONE> now"
+    assert out.loc[4, "n_number"] == 2
+    assert out.loc[4, "redacted"] == "order <NUM> qty <NUM>"
+    assert out.loc[5, "redacted"] == "no sensitive content here"
+    con = duckdb.connect()
+    con.register("fixture", rows)
+    gold = con.execute(scrub_sql("fixture", "txt", "rid")
+                       + " ORDER BY rid").fetchdf().set_index("rid")
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+
+
 def test_decontamination_planted(ray_session):
     """flag_contamination: a doc quoting ≥n consecutive benchmark words is
     flagged, unrelated/short docs are not; n_hit counts distinct shared
