@@ -406,6 +406,28 @@ def user_sessions(sf_dir: str):
     return sessionize(ev, "user_id", "ts", 1800, order_cols=["event_id"])
 
 
+def value_quantiles_by_type(sf_dir: str):
+    """Exact per-group discrete quantiles (p25/p50/p90/p99 of value per
+    event_type) — one key shuffle + one vectorized sort-and-gather per
+    partition (ops/quantile.py); element-picking convention identical to
+    DuckDB quantile_disc, values pass through bit-exact."""
+    from ..ops.quantile import grouped_quantiles
+    return grouped_quantiles(
+        _read(sf_dir, "events", columns=["event_type", "value"]),
+        "event_type", "value", num_partitions=8)
+
+
+def value_quantiles_sampled(sf_dir: str):
+    """The corpus-scale quantile path: exact quantiles of a DETERMINISTIC
+    md5-prefix ~25% row sample (partition/run-invariant, mergeable) —
+    still hash-green because the sample is a pure row predicate the SQL
+    twin reproduces."""
+    from ..ops.quantile import sampled_quantiles
+    return sampled_quantiles(
+        _read(sf_dir, "events", columns=["event_id", "event_type", "value"]),
+        "event_type", "value", id_col="event_id", num_partitions=8)
+
+
 # ------------------------------------------------------ training-data suite
 
 def approx_distinct_users(sf_dir: str):
@@ -664,6 +686,8 @@ QUERIES = {
     "purchase_asof_click": purchase_asof_click,
     "purchase_nearby_clicks": purchase_nearby_clicks,
     "user_sessions": user_sessions,
+    "value_quantiles_by_type": value_quantiles_by_type,
+    "value_quantiles_sampled": value_quantiles_sampled,
     "distinct_segments": distinct_segments,
     "approx_distinct_users": approx_distinct_users,
     "dedup_exact": dedup_exact,
@@ -813,6 +837,23 @@ ORACLE_SQL = {
     """,
     "distinct_segments": """
         SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "value_quantiles_by_type": """
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.9)  AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "value_quantiles_sampled": """
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.5)  AS p50,
+               quantile_disc(value, 0.9)  AS p90,
+               quantile_disc(value, 0.99) AS p99
+        FROM events WHERE md5(CAST(event_id AS VARCHAR)) < '4'
+        GROUP BY event_type
     """,
     "sample_documents": """
         SELECT doc_id, text FROM documents WHERE md5(text) < '4'

@@ -497,6 +497,64 @@ def test_repetition_vs_duckdb(ray_session):
     assert spam["dup_word_frac"] == 0.75 and spam["top_bigram_frac"] == 1.0
 
 
+def test_grouped_quantiles_vs_duckdb(ray_session):
+    """grouped_quantiles picks the exact same elements as DuckDB
+    quantile_disc on adversarial data: skewed group sizes (incl. n=1/2),
+    heavy ties, negative values."""
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    sizes = {"a": 1, "b": 2, "c": 7, "d": 100, "e": 997}
+    keys, vals = [], []
+    for k, n in sizes.items():
+        keys += [k] * n
+        v = rng.integers(-50, 50, n).astype("float64")
+        v[: n // 3] = 7.0                         # heavy ties
+        vals += v.tolist()
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.float64())})
+
+    from graphene_loader_ray.ops.quantile import grouped_quantiles
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    out = grouped_quantiles(rd.from_arrow(t), "k", "v", qs=qs,
+                            num_partitions=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    gold = con.execute("""
+        SELECT k, quantile_disc(v, 0.0) AS p0, quantile_disc(v, 0.25) AS p25,
+               quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9) AS p90,
+               quantile_disc(v, 0.99) AS p99, quantile_disc(v, 1.0) AS p100
+        FROM t GROUP BY k ORDER BY k""").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+
+
+def test_sampled_quantiles_accuracy(ray_session):
+    """The deterministic-hash-sample quantile path lands close to the
+    exact quantile in rank terms (the 100-TB fallback when one group
+    exceeds a partition)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.quantile import (grouped_quantiles,
+                                                  sampled_quantiles)
+
+    rng = np.random.default_rng(5)
+    n = 20000
+    t = pa.table({
+        "rid": pa.array(range(n), pa.int64()),
+        "k": pa.array(["g"] * n),
+        "v": pa.array(rng.exponential(10.0, n), pa.float64())})
+    ds = rd.from_arrow(t)
+    exact = grouped_quantiles(ds, "k", "v", qs=(0.5, 0.9)).to_pandas()
+    approx = sampled_quantiles(ds, "k", "v", id_col="rid",
+                               qs=(0.5, 0.9)).to_pandas()
+    v = np.sort(t["v"].to_numpy())
+    for col in ("p50", "p90"):
+        rank_exact = np.searchsorted(v, exact[col].iloc[0]) / n
+        rank_approx = np.searchsorted(v, approx[col].iloc[0]) / n
+        assert abs(rank_exact - rank_approx) < 0.02   # ~5k-row sample
+
+
 def test_scrub_rules(ray_session):
     """Each scrub rule fires on a literal fixture; the cascade order holds
     (an email's digits never reach the number rule); engine output equals
