@@ -46,7 +46,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "sample_documents", "shuffled_documents", "dedup_minhash",
                "dedup_ngram", "dedup_simhash", "dedup_embedding",
                "dedup_embedding_exact", "text_stats",
-               "text_quality", "text_repetition", "text_fingerprint",
+               "text_quality", "text_repetition", "top_terms",
+               "text_fingerprint",
                "knn_top10", "knn_top10_lsh",
                "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
                "user_sessions", "purchase_asof_click", "purchase_nearby_clicks",

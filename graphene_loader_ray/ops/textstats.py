@@ -239,6 +239,46 @@ def repetition_stats(docs: Dataset, concurrency=(1, 8)) -> Dataset:
                             batch_size=2048, concurrency=concurrency)
 
 
+class TermPartials:
+    """In-batch combiner for corpus term frequencies: each batch emits one
+    (term, n) row per DISTINCT term, so the shuffle moves
+    O(vocab × batches) rows instead of O(word occurrences) — the same
+    pre-aggregation shape as the linker's in-actor combining. Counting is
+    pandas value_counts (C), not a Python dict loop."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        import re as _re
+        self.word_re = _re.compile(WORD_PATTERN, _re.ASCII)
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        words: list[str] = []
+        for text in batch[self.text_col].to_pylist():
+            words.extend(self.word_re.findall((text or "").lower()))
+        if not words:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(words, dtype=object).value_counts(sort=False)
+        return pa.table({"term": pa.array(vc.index.to_list(), pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+
+def term_frequencies(docs: Dataset, k: int = 50,
+                     concurrency=(1, 8)) -> Dataset:
+    """Corpus vocabulary head: top-k terms by occurrence count (ties by
+    term). Combiner-first: partial counts per batch, a vocab-sized
+    groupby-sum, then a vocab-sized sort+limit — the corpus itself is
+    never shuffled."""
+    from ray.data.aggregate import Sum
+
+    return docs.map_batches(TermPartials, batch_format="pyarrow",
+                            batch_size=2048, concurrency=concurrency) \
+        .groupby("term").aggregate(Sum("n", alias_name="n")) \
+        .sort(["n", "term"], descending=[True, False]).limit(k)
+
+
 def token_stats(docs: Dataset, concurrency=(1, 8)) -> Dataset:
     return docs.map_batches(TokenCounter, batch_format="pyarrow",
                             batch_size=2048, concurrency=concurrency)

@@ -485,6 +485,14 @@ def text_quality(sf_dir: str):
                      batch_format="pyarrow")
 
 
+def top_terms(sf_dir: str):
+    """Corpus vocabulary head (top-50 terms by occurrence): combiner-first
+    counts — the shuffle is vocab-sized, never corpus-sized."""
+    from ..ops.textstats import term_frequencies
+    return term_frequencies(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]), k=50)
+
+
 def text_repetition(sf_dir: str):
     """Gopher-style repetition signals (dup-word fraction, top-bigram /
     top-trigram share) — the repetitious-boilerplate filter of a web-scale
@@ -696,6 +704,7 @@ QUERIES = {
     "text_stats": text_statistics,
     "text_quality": text_quality,
     "text_repetition": text_repetition,
+    "top_terms": top_terms,
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
@@ -983,6 +992,16 @@ ORACLE_SQL = {
                     ELSE 'fr'
                END AS lang_guess
         FROM b
+    """,
+    # corpus vocabulary head: occurrence counts over the same ASCII-\w
+    # lower tokenization; (n DESC, term) total order on both sides so the
+    # LIMIT cut is deterministic
+    "top_terms": """
+        WITH w AS (
+          SELECT unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+          FROM documents)
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY term ORDER BY n DESC, term LIMIT 50
     """,
     # Gopher-style repetition signals: word-level dup fraction + top
     # bigram/trigram share (same ASCII-\w-over-lower tokenization and

@@ -497,6 +497,34 @@ def test_repetition_vs_duckdb(ray_session):
     assert spam["dup_word_frac"] == 0.75 and spam["top_bigram_frac"] == 1.0
 
 
+def test_term_frequencies_topk_cut(ray_session):
+    """term_frequencies equals the SQL twin when the LIMIT actually cuts
+    through a tie plateau (the deterministic (n DESC, term) order is what
+    makes the cut reproducible)."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.textstats import term_frequencies
+
+    # 80 distinct terms: t00..t39 appear twice, u40..u79 once → k=50 cuts
+    # 10 deep into the tied singletons
+    texts = [" ".join(f"t{i:02d}" for i in range(40))] * 2 \
+        + [" ".join(f"u{i}" for i in range(40, 80))]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = term_frequencies(rd.from_arrow(t), k=50).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", t)
+    gold = con.execute("""
+        WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '\\w+'))
+                   AS term FROM documents)
+        SELECT term, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY term ORDER BY n DESC, term LIMIT 50""").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    assert len(out) == 50 and out["n"].iloc[0] == 2 and out["n"].iloc[-1] == 1
+
+
 def test_grouped_quantiles_vs_duckdb(ray_session):
     """grouped_quantiles picks the exact same elements as DuckDB
     quantile_disc on adversarial data: skewed group sizes (incl. n=1/2),
