@@ -54,7 +54,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "value_quantiles_by_type", "value_quantiles_sampled",
                "dedup_minhash_groups", "decontaminate_docs",
                "scrub_event_props",
-               "multimodal_features"]
+               "multimodal_features", "multimodal_audio",
+               "multimodal_video_frames"]
 
 
 def _pool(ncpu: int) -> int:

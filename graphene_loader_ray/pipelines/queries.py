@@ -678,6 +678,34 @@ def multimodal_features(sf_dir: str):
     return extract_features(decode_payloads(images))
 
 
+def multimodal_audio(sf_dir: str):
+    """Real RIFF/WAVE container decode over synthetic audio payloads
+    (channels / rate / bits / frame count / duration); corrupt payloads
+    quarantine (ok=False)."""
+    from ..sources.synth import synthesize
+    from ..stages.multimodal import decode_audio
+
+    fixture = synthesize(n_pages=400)
+    clips = rd.read_parquet(os.path.join(fixture, "audio.parquet"),
+                            columns=["url", "payload"],
+                            override_num_blocks=2)    # small-read rule
+    return decode_audio(clips)
+
+
+def multimodal_video_frames(sf_dir: str):
+    """Video frame sampling: demux the GLV1 fixture container, emit every
+    4th frame's parsed PNG header (one video → many frame rows); broken
+    containers quarantine as a single ok=False row."""
+    from ..sources.synth import synthesize
+    from ..stages.multimodal import sample_frames
+
+    fixture = synthesize(n_pages=400)
+    vids = rd.read_parquet(os.path.join(fixture, "videos.parquet"),
+                           columns=["url", "payload"],
+                           override_num_blocks=2)     # small-read rule
+    return sample_frames(vids, every_k=4)
+
+
 # ------------------------------------------------------------------ wiring
 
 QUERIES = {
@@ -722,6 +750,8 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_misses": kg_misses,
     "multimodal_features": multimodal_features,
+    "multimodal_audio": multimodal_audio,
+    "multimodal_video_frames": multimodal_video_frames,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))

@@ -563,9 +563,78 @@ def build_images(n_images: int, seed: int = SEED) -> pa.Table:
                      "kind": pa.array(kinds, pa.string())})
 
 
+# ------------------------------------------------------------- audio/video
+# Audio clips are REAL RIFF/WAVE files (fmt + data chunks, valid sizes,
+# deterministic PCM); the decode stage parses the actual container bytes.
+# "Video" uses the repo's own GLV1 fixture container (magic, fps, frame
+# count, length-prefixed REAL PNG frames): no codec/demuxer library ships
+# in this container, so the demux framing is ours, but every frame payload
+# is a real PNG the real image parser reads. 1-in-13 payloads are
+# corrupted to exercise quarantine.
+
+def _wav_bytes(n_frames: int, rate: int, channels: int, bits: int,
+               seed: int) -> bytes:
+    import struct
+    block = channels * bits // 8
+    data = bytes(((seed + 17 * i) % 256) for i in range(n_frames * block))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_audio(n_clips: int, seed: int = SEED) -> pa.Table:
+    urls, payloads, kinds = [], [], []
+    for i in range(n_clips):
+        rate = (8000, 16000, 44100)[i % 3]
+        channels = 1 + i % 2
+        n_frames = 40 + (i * 37) % 400
+        payload = _wav_bytes(n_frames, rate, channels, 16, seed + i)
+        kind = "wav"
+        if i % 13 == 12:                      # corrupt → quarantine
+            payload = payload[:7] if i % 2 else b"RIFX" + payload[4:]
+            kind = "corrupt"
+        urls.append(f"https://audio.example/a/{i}.{kind}")
+        payloads.append(payload)
+        kinds.append(kind)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "kind": pa.array(kinds, pa.string())})
+
+
+def _video_bytes(n_frames: int, fps: int, w: int, h: int,
+                 seed: int) -> bytes:
+    import struct
+    frames = [_png_bytes(w, h, seed + 7 * f) for f in range(n_frames)]
+    out = [b"GLV1", struct.pack("<HI", fps, n_frames)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
+def build_videos(n_videos: int, seed: int = SEED) -> pa.Table:
+    urls, payloads, kinds = [], [], []
+    for i in range(n_videos):
+        n_frames = 6 + (i * 5) % 40
+        w, h = 8 + (i * 3) % 24, 8 + (i * 5) % 16
+        payload = _video_bytes(n_frames, (12, 24, 30)[i % 3], w, h, seed + i)
+        kind = "glv"
+        if i % 13 == 12:
+            payload = payload[:6] if i % 2 else b"GLVX" + payload[4:]
+            kind = "corrupt"
+        urls.append(f"https://video.example/v/{i}.{kind}")
+        payloads.append(payload)
+        kinds.append(kind)
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "payload": pa.array(payloads, pa.binary()),
+                     "kind": pa.array(kinds, pa.string())})
+
+
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 5
+_FIXTURE_VERSION = 6
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -589,6 +658,10 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
         pq.write_table(tbl, os.path.join(tmp, f"{name}.parquet"))
     pq.write_table(build_images(max(64, n_pages // 4), seed=seed),
                    os.path.join(tmp, "images.parquet"))
+    pq.write_table(build_audio(max(64, n_pages // 8), seed=seed),
+                   os.path.join(tmp, "audio.parquet"))
+    pq.write_table(build_videos(max(32, n_pages // 16), seed=seed),
+                   os.path.join(tmp, "videos.parquet"))
     # the reference's ACTUAL input shape: the reactome side as a MySQL
     # dump (LoadMysqlDump.groovy) — written alongside the parquet twins so
     # the dump reader can be equivalence-tested against them

@@ -3,6 +3,8 @@ relational/stream ops (vs DuckDB oracles), multimodal plumbing."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -799,3 +801,75 @@ def test_multimodal_decode_pipeline(smoke_fixture_dir):
     a = out.sort_values("url").reset_index(drop=True)
     b = out2.sort_values("url").reset_index(drop=True)
     assert (a["payload_sha256"].fillna("") == b["payload_sha256"].fillna("")).all()
+
+
+def test_wav_header_parser():
+    """Real RIFF walk: valid file parsed field-for-field; extra unknown
+    chunk skipped; truncation / wrong magic / non-PCM rejected."""
+    from graphene_loader_ray.sources.synth import _wav_bytes
+    from graphene_loader_ray.stages.multimodal import parse_wav_header
+
+    wav = _wav_bytes(n_frames=100, rate=16000, channels=2, bits=16, seed=3)
+    assert parse_wav_header(wav) == (2, 16000, 16, 100)
+    # unknown chunk between fmt and data must be skipped (incl. odd-size
+    # word alignment): rebuild with a LIST chunk injected
+    body = wav[12:]
+    fmt_chunk = body[:8 + 16]
+    rest = body[8 + 16:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded
+    patched = b"RIFF" + struct.pack(
+        "<I", 4 + len(fmt_chunk) + len(extra) + len(rest)) \
+        + b"WAVE" + fmt_chunk + extra + rest
+    assert parse_wav_header(patched) == (2, 16000, 16, 100)
+    assert parse_wav_header(wav[:7]) is None
+    assert parse_wav_header(b"RIFX" + wav[4:]) is None
+    assert parse_wav_header(wav[:-10]) is None          # truncated data
+    nonpcm = bytearray(wav)
+    nonpcm[20] = 3                                       # IEEE float fmt
+    assert parse_wav_header(bytes(nonpcm)) is None
+
+
+def test_multimodal_audio_pipeline(smoke_fixture_dir):
+    import ray.data as rd
+
+    from graphene_loader_ray.stages.multimodal import decode_audio
+
+    clips = rd.read_parquet(smoke_fixture_dir + "/audio.parquet")
+    kinds = dict(zip(clips.to_pandas()["url"], clips.to_pandas()["kind"]))
+    out = decode_audio(clips.select_columns(["url", "payload"])).to_pandas()
+    assert len(out) == len(kinds)
+    for _, row in out.iterrows():
+        if kinds[row["url"]] == "corrupt":
+            assert not row["ok"] and row["sample_rate"] == 0
+        else:
+            assert row["ok"] and row["format"] == "wav"
+            assert row["sample_rate"] in (8000, 16000, 44100)
+            assert row["duration_ms"] == row["n_frames"] * 1000 \
+                // row["sample_rate"]
+    assert (~out["ok"]).sum() >= 1
+
+
+def test_video_frame_sampler(smoke_fixture_dir):
+    """GLV1 demux + every-k sampling: sampled indices are 0,k,2k,…; each
+    sampled frame is a real PNG whose parsed dims are consistent per
+    video; corrupt containers quarantine as one ok=False row."""
+    import ray.data as rd
+
+    from graphene_loader_ray.stages.multimodal import sample_frames
+
+    vids = rd.read_parquet(smoke_fixture_dir + "/videos.parquet")
+    pdf = vids.to_pandas()
+    kinds = dict(zip(pdf["url"], pdf["kind"]))
+    out = sample_frames(vids.select_columns(["url", "payload"]),
+                        every_k=4).to_pandas()
+    for url, g in out.groupby("url"):
+        if kinds[url] == "corrupt":
+            assert len(g) == 1 and not g["ok"].iloc[0]
+            continue
+        assert g["ok"].all()
+        n_frames = g["n_frames"].iloc[0]
+        expect = list(range(0, int(n_frames), 4))
+        assert sorted(g["frame_index"].tolist()) == expect
+        assert (g["frame_format"] == "png").all()
+        assert g["width"].nunique() == 1 and (g["width"] > 0).all()
+    assert (~out["ok"]).sum() >= 1
