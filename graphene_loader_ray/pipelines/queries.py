@@ -678,6 +678,23 @@ def multimodal_features(sf_dir: str):
     return extract_features(decode_payloads(images))
 
 
+def domain_stats_pages(sf_dir: str):
+    """Per-host stats over the synthetic web-page corpus (n_pages,
+    distinct langs, payload bytes) — the host-level grouping for
+    per-domain caps / politeness / domain dedup. Combiner-first: the
+    shuffle is hosts×langs-sized, never corpus-sized. Rows-only driver
+    check (the pages table isn't a driver view); hash-exact DuckDB parity
+    is pinned in test_domain_stats_vs_duckdb."""
+    from ..ops.webstats import domain_stats
+    from ..sources.synth import synthesize
+
+    fixture = synthesize(n_pages=400)
+    pages = rd.read_parquet(os.path.join(fixture, "pages"),
+                            columns=["url", "html", "lang"],
+                            override_num_blocks=2)     # small-read rule
+    return domain_stats(pages)
+
+
 def multimodal_audio(sf_dir: str):
     """Real RIFF/WAVE container decode over synthetic audio payloads
     (channels / rate / bits / frame count / duration); corrupt payloads
@@ -750,6 +767,7 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_misses": kg_misses,
     "multimodal_features": multimodal_features,
+    "domain_stats_pages": domain_stats_pages,
     "multimodal_audio": multimodal_audio,
     "multimodal_video_frames": multimodal_video_frames,
 }

@@ -803,6 +803,33 @@ def test_multimodal_decode_pipeline(smoke_fixture_dir):
     assert (a["payload_sha256"].fillna("") == b["payload_sha256"].fillna("")).all()
 
 
+def test_domain_stats_vs_duckdb(smoke_fixture_dir):
+    """domain_stats (combiner-first host×lang partials) equals the exact
+    DuckDB computation over the real pages fixture, including the
+    quarantine rows' byte counts."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.webstats import domain_stats
+
+    pages = rd.read_parquet(smoke_fixture_dir + "/pages",
+                            columns=["url", "html", "lang"],
+                            override_num_blocks=2)
+    out = domain_stats(pages).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    con = duckdb.connect()
+    gold = con.execute(f"""
+        SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                   AS host,
+               count(*) AS n_pages,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(octet_length(html)) AS BIGINT) AS n_bytes
+        FROM '{smoke_fixture_dir}/pages/*.parquet'
+        GROUP BY host ORDER BY host""").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    assert len(out) > 100 and (out["n_langs"] >= 1).all()
+
+
 def test_wav_header_parser():
     """Real RIFF walk: valid file parsed field-for-field; extra unknown
     chunk skipped; truncation / wrong magic / non-PCM rejected."""
