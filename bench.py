@@ -55,7 +55,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "dedup_minhash_groups", "decontaminate_docs",
                "scrub_event_props",
                "multimodal_features", "multimodal_audio",
-               "multimodal_video_frames", "domain_stats_pages"]
+               "multimodal_video_frames", "domain_stats_pages",
+               "stratified_documents", "doc_length_band"]
 
 
 def _pool(ncpu: int) -> int:

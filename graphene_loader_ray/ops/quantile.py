@@ -97,3 +97,37 @@ def sampled_quantiles(ds: Dataset, key: str, value_col: str, id_col: str,
     result is reproducible and SQL-twinnable, unlike a random sample."""
     return grouped_quantiles(hash_keep(ds, id_col, keep_below), key,
                              value_col, qs, num_partitions=num_partitions)
+
+
+def percentile_band_filter(ds: Dataset, key: str, value_col: str,
+                           lo: float = 0.05, hi: float = 0.95,
+                           num_partitions: int = 16) -> Dataset:
+    """Keep only rows whose ``value_col`` lies inside the per-group
+    [quantile_disc(lo), quantile_disc(hi)] band — the standard
+    length-outlier cut in a training-data pipeline (drop the shortest and
+    longest tail per language).
+
+    Two passes over the (lazy) input: pass 1 computes the per-group
+    bounds with :func:`grouped_quantiles` (a groups-sized result — safe
+    to collect and broadcast via ``ray.put`` once), pass 2 is a pure
+    vectorized map filter, NO shuffle. The filter re-reads only
+    (key, value) plus whatever columns the caller kept, so the expensive
+    pass streams."""
+    import ray
+
+    lo_col, hi_col = q_col_name(lo), q_col_name(hi)
+    bounds = grouped_quantiles(ds.select_columns([key, value_col]), key,
+                               value_col, qs=(lo, hi),
+                               num_partitions=num_partitions).to_pandas()
+    handle = ray.put((dict(zip(bounds[key], bounds[lo_col])),
+                      dict(zip(bounds[key], bounds[hi_col]))))
+
+    def keep(t: pa.Table) -> pa.Table:
+        lo_map, hi_map = ray.get(handle)   # tiny dicts, read from store
+        keys = t[key].to_pandas()
+        lo_v = keys.map(lo_map).to_numpy(dtype="float64")  # C dict lookup
+        hi_v = keys.map(hi_map).to_numpy(dtype="float64")
+        vals = t[value_col].to_pandas().to_numpy(dtype="float64")
+        return t.filter(pa.array((vals >= lo_v) & (vals <= hi_v)))
+
+    return ds.map_batches(keep, batch_size=8192, batch_format="pyarrow")

@@ -1,0 +1,73 @@
+"""Stratified deterministic sampling — per-group caps for training-data
+mixing (take at most k documents per language / per source / per domain,
+the same k documents on every run and under any partitioning).
+
+The selection rule is "k smallest md5(CAST(id AS VARCHAR)) per group"
+(ties broken by id), which a SQL twin reproduces exactly with
+``row_number() OVER (PARTITION BY key ORDER BY md5(...), id)`` — so the
+driver can hash-compare it against DuckDB.
+
+Scale shape: combiner-first. Every batch reduces to ≤ k rows per group it
+contains (a partial top-k is itself mergeable: the global k smallest are
+always among the union of per-batch k smallest), so the key shuffle moves
+O(groups × k × batches) rows, never the corpus. The md5 is per-row Python
+(hashlib has no vectorized form and the SQL twin pins the exact function)
+— the same documented trade as ops/dedup.hash_sample.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from ray.data import Dataset
+
+from .partition import group_partitioned
+
+_H = "__strat_h"
+
+
+def _rank_hash(df: pd.DataFrame, id_col: str) -> pd.Series:
+    return df[id_col].map(
+        lambda x: hashlib.md5(str(x).encode()).hexdigest())
+
+
+def _topk_per_group(df: pd.DataFrame, key: str, id_col: str,
+                    k: int) -> pd.DataFrame:
+    return (df.sort_values([key, _H, id_col], kind="mergesort")
+              .groupby(key, sort=False).head(k))
+
+
+def stratified_sample(ds: Dataset, key: str, id_col: str, k: int,
+                      num_partitions: int = 16) -> Dataset:
+    """At most ``k`` rows per distinct ``key`` value, chosen as the k
+    smallest ``md5(str(id))`` (then id) — deterministic across runs,
+    partitionings and cluster sizes. All input columns pass through."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{_H: pd.Series(dtype="object")})
+        df = df.assign(**{_H: _rank_hash(df, id_col)})
+        return _topk_per_group(df, key, id_col, k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=[_H])
+        return _topk_per_group(df, key, id_col, k).drop(columns=[_H])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return group_partitioned(partials, [key], final,
+                             num_partitions=num_partitions)
+
+
+def stratified_sample_sql(table: str, key: str, id_col: str, k: int,
+                          columns: list[str]) -> str:
+    """The DuckDB twin of :func:`stratified_sample` over ``table``,
+    generated from the same rule so the two can't drift."""
+    cols = ", ".join(columns)
+    return (f"SELECT {cols} FROM ("
+            f"SELECT {cols}, row_number() OVER ("
+            f"PARTITION BY {key} "
+            f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn "
+            f"FROM {table}) WHERE rn <= {k}")

@@ -464,6 +464,30 @@ def sample_documents(sf_dir: str):
                              columns=["doc_id", "text"]), 4)
 
 
+def stratified_documents(sf_dir: str):
+    """Per-group deterministic cap (training-data mixing): at most 20
+    documents per language, chosen as the 20 smallest md5(doc_id) per
+    lang — the same 20 on every run and under any partitioning.
+    Combiner-first: each batch reduces to ≤ 20 rows per lang before the
+    key shuffle."""
+    from ..ops.sample import stratified_sample
+    return stratified_sample(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "lang", "source", "n_chars"]),
+        key="lang", id_col="doc_id", k=20)
+
+
+def doc_length_band(sf_dir: str):
+    """Per-language length-outlier cut: keep documents whose n_chars is
+    inside the per-lang [p5, p95] quantile_disc band. Two passes: a
+    groups-sized bounds table broadcast via ray.put, then a shuffle-free
+    vectorized filter."""
+    from ..ops.quantile import percentile_band_filter
+    return percentile_band_filter(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        key="lang", value_col="n_chars", lo=0.05, hi=0.95)
+
+
 def shuffled_documents(sf_dir: str):
     """Seeded global random shuffle (training-data epoch order); the
     DuckDB twin checks the permutation property — every row present
@@ -745,6 +769,8 @@ QUERIES = {
     "approx_distinct_users": approx_distinct_users,
     "dedup_exact": dedup_exact,
     "sample_documents": sample_documents,
+    "stratified_documents": stratified_documents,
+    "doc_length_band": doc_length_band,
     "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,
@@ -914,6 +940,15 @@ ORACLE_SQL = {
     """,
     "sample_documents": """
         SELECT doc_id, text FROM documents WHERE md5(text) < '4'
+    """,
+    "doc_length_band": """
+        WITH b AS (SELECT lang,
+                          quantile_disc(n_chars, 0.05) AS lo,
+                          quantile_disc(n_chars, 0.95) AS hi
+                   FROM documents GROUP BY lang)
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d JOIN b USING (lang)
+        WHERE d.n_chars >= b.lo AND d.n_chars <= b.hi
     """,
     "shuffled_documents": """
         SELECT doc_id, text FROM documents
@@ -1133,3 +1168,10 @@ ORACLE_SQL = {
 from ..ops.scrub import scrub_sql as _scrub_sql  # noqa: E402
 
 ORACLE_SQL["scrub_event_props"] = _scrub_sql("events", "props", "event_id")
+
+# generated from the same selection rule as the engine (ops/sample.py)
+from ..ops.sample import stratified_sample_sql as _strat_sql  # noqa: E402
+
+ORACLE_SQL["stratified_documents"] = _strat_sql(
+    "documents", "lang", "doc_id", 20,
+    ["doc_id", "lang", "source", "n_chars"])

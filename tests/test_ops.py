@@ -900,3 +900,71 @@ def test_video_frame_sampler(smoke_fixture_dir):
         assert (g["frame_format"] == "png").all()
         assert g["width"].nunique() == 1 and (g["width"] > 0).all()
     assert (~out["ok"]).sum() >= 1
+
+
+def test_stratified_sample_invariance_and_rule(ray_session):
+    """stratified_sample returns the exact k-smallest-md5 rows per group
+    (pandas reference), identically under 1-block and 8-block inputs, and
+    whole groups when k exceeds the group size."""
+    import hashlib
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sample import stratified_sample
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    t = pa.table({
+        "id": pa.array(range(n), pa.int64()),
+        "g": pa.array(rng.choice(["a", "b", "c", "tiny"],
+                                 p=[0.5, 0.3, 0.198, 0.002], size=n)),
+        "x": pa.array(rng.normal(size=n)),
+    })
+    ref = t.to_pandas()
+    ref["_h"] = ref["id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    gold = (ref.sort_values(["g", "_h", "id"]).groupby("g").head(5)
+               .drop(columns=["_h"])
+               .sort_values("id").reset_index(drop=True))
+
+    for blocks in (1, 8):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = stratified_sample(ds, "g", "id", 5, num_partitions=4) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, gold, check_exact=True)
+
+    tiny = int((ref["g"] == "tiny").sum())
+    assert 0 < tiny < 5
+    assert (gold["g"] == "tiny").sum() == tiny   # k > group size: keep all
+
+
+def test_percentile_band_filter_vs_reference(ray_session):
+    """percentile_band_filter equals the quantile_disc-band reference
+    (DuckDB), keeps constant-valued groups whole, and drops tails."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.quantile import percentile_band_filter
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    g = rng.choice(["x", "y"], size=n).tolist() + ["const"] * 50
+    v = rng.integers(0, 10_000, n).tolist() + [42] * 50
+    t = pa.table({"id": pa.array(range(len(g)), pa.int64()),
+                  "g": pa.array(g), "v": pa.array(v, pa.int64())})
+
+    out = percentile_band_filter(rd.from_arrow(t).repartition(4),
+                                 "g", "v", lo=0.1, hi=0.9,
+                                 num_partitions=4).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    gold = con.execute("""
+        WITH b AS (SELECT g, quantile_disc(v, 0.1) AS lo,
+                          quantile_disc(v, 0.9) AS hi
+                   FROM t GROUP BY g)
+        SELECT t.id, t.g, t.v FROM t JOIN b USING (g)
+        WHERE t.v >= b.lo AND t.v <= b.hi ORDER BY id""").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    assert (out["g"] == "const").sum() == 50     # constant group survives
+    assert len(out) < len(g)                     # tails were cut
