@@ -56,7 +56,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "scrub_event_props",
                "multimodal_features", "multimodal_audio",
                "multimodal_video_frames", "domain_stats_pages",
-               "stratified_documents", "doc_length_band"]
+               "stratified_documents", "doc_length_band",
+               "bloom_new_documents"]
 
 
 def _pool(ncpu: int) -> int:

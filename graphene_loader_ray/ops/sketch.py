@@ -147,3 +147,105 @@ def count_min(ds: Dataset, col: str, width: int = 2048,
                           dtype=np.int64).reshape(-1, depth * width)
         out.counts += flat.sum(axis=0).reshape(depth, width)
     return out
+
+
+# ------------------------------------------------------------------ Bloom
+
+class BloomFilter:
+    """m-bit Bloom filter, k probes by double hashing (Kirsch-Mitzenmacker:
+    pos_j = h1 + j*h2 mod m preserves the classic FP bound). Fixed-size
+    uint64 words; merge = elementwise OR (commutative/associative/
+    idempotent), so a filter built from partials equals one built
+    sequentially. NO false negatives ever; FP rate ≈ (1-e^(-kn/m))^k."""
+
+    def __init__(self, n_bits: int = 1 << 20, k: int = 7):
+        assert n_bits % 64 == 0
+        self.n_bits, self.k = n_bits, k
+        self.words = np.zeros(n_bits // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _mix(x: np.ndarray) -> np.ndarray:
+        """splitmix64-style finalizer: every output bit depends on every
+        input bit (a bare multiply leaves pos = f(low bits only) once
+        reduced mod m, collapsing the FP bound)."""
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        return x ^ (x >> np.uint64(33))
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        """(k, n) bit positions from one stable uint64 hash per value."""
+        with np.errstate(over="ignore"):
+            h1 = self._mix(h)
+            h2 = self._mix(h ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+            j = np.arange(self.k, dtype=np.uint64)[:, None]
+            return ((h1[None, :] + j * h2[None, :])
+                    % np.uint64(self.n_bits)).astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._positions(h).reshape(-1)
+        np.bitwise_or.at(self.words, pos >> 6,
+                         np.uint64(1) << (pos.astype(np.uint64)
+                                          & np.uint64(63)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        """bool[n]: True = possibly present, False = DEFINITELY absent."""
+        if h.size == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(h)
+        bit = (self.words[pos >> 6] >> (pos.astype(np.uint64)
+                                        & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        self.words |= other.words
+        return self
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.words.view(np.uint8)).mean())
+
+
+def bloom_build(ds: Dataset, col: str, n_bits: int = 1 << 20,
+                k: int = 7) -> BloomFilter:
+    """Distributed build: one fixed-size packed-bit partial per batch,
+    OR-merged on the driver — filter-sized shuffle only (m/8 bytes per
+    batch), never rows. The result is broadcastable via ``ray.put`` for
+    shuffle-free membership tests (incremental dedup: drop documents
+    already ingested by a previous run)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = BloomFilter(n_bits, k)
+        b.add_hashes(_stable_hash64(batch[col]))
+        return pa.table({"words": pa.FixedSizeListArray.from_arrays(
+            pa.array(b.words.view(np.int64), pa.int64()), n_bits // 64)})
+
+    out = BloomFilter(n_bits, k)
+    for b in ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536) \
+               .iter_batches(batch_size=256, batch_format="pyarrow"):
+        flat = np.asarray(b["words"].combine_chunks().flatten(),
+                          dtype=np.int64).reshape(-1, n_bits // 64)
+        out.words |= np.bitwise_or.reduce(
+            flat.view(np.uint64), axis=0)
+    return out
+
+
+def bloom_filter_absent(ds: Dataset, col: str,
+                        bloom: BloomFilter) -> Dataset:
+    """Keep only rows whose ``col`` is DEFINITELY not in ``bloom`` (the
+    'new documents' side of an incremental-ingest dedup). One ray.put of
+    the filter, a pure vectorized map per batch — no shuffle. Rows the
+    filter false-positives on (≈ fpp) are dropped with the dups; no
+    already-seen row ever survives."""
+    import ray
+
+    handle = ray.put(bloom)
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        bf = ray.get(handle)           # zero-copy words array from store
+        return t.filter(pa.array(~bf.contains_hashes(
+            _stable_hash64(t[col]))))
+
+    return ds.map_batches(keep_new, batch_format="pyarrow",
+                          batch_size=65536)

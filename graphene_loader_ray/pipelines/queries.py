@@ -488,6 +488,24 @@ def doc_length_band(sf_dir: str):
         key="lang", value_col="n_chars", lo=0.05, hi=0.95)
 
 
+def bloom_new_documents(sf_dir: str):
+    """Incremental-ingest dedup: a Bloom filter built over the texts of a
+    'previously ingested' half of the corpus (even doc_id), broadcast
+    once, then a shuffle-free filter keeps only definitely-new documents.
+    Approximate by design (≈fpp of the new docs are over-dropped, no seen
+    doc ever survives) — rows-only driver row; the no-false-negative /
+    FP-bound / partition-invariance guarantees are pinned in
+    test_bloom_filter_properties."""
+    from ..ops.sketch import bloom_build, bloom_filter_absent
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    seen = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    bloom = bloom_build(seen, "text", n_bits=1 << 20, k=7)
+    return bloom_filter_absent(docs, "text", bloom)
+
+
 def shuffled_documents(sf_dir: str):
     """Seeded global random shuffle (training-data epoch order); the
     DuckDB twin checks the permutation property — every row present
@@ -771,6 +789,7 @@ QUERIES = {
     "sample_documents": sample_documents,
     "stratified_documents": stratified_documents,
     "doc_length_band": doc_length_band,
+    "bloom_new_documents": bloom_new_documents,
     "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,

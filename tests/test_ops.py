@@ -968,3 +968,42 @@ def test_percentile_band_filter_vs_reference(ray_session):
     pd.testing.assert_frame_equal(out, gold, check_exact=True)
     assert (out["g"] == "const").sum() == 50     # constant group survives
     assert len(out) < len(g)                     # tails were cut
+
+
+def test_bloom_filter_properties(ray_session):
+    """Bloom: zero false negatives, FP rate within 2x the analytic bound,
+    and the distributed build is partition-invariant (bit-identical
+    words under 1 vs 8 blocks)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import (BloomFilter, bloom_build,
+                                                bloom_filter_absent,
+                                                _stable_hash64)
+
+    present = pa.array([f"doc-{i}" for i in range(5000)])
+    absent = pa.array([f"other-{i}" for i in range(20000)])
+    t = pa.table({"key": present})
+
+    blooms = [bloom_build(rd.from_arrow(t).repartition(b), "key",
+                          n_bits=1 << 16, k=7) for b in (1, 8)]
+    assert np.array_equal(blooms[0].words, blooms[1].words)
+    bf = blooms[0]
+
+    assert bf.contains_hashes(_stable_hash64(present)).all()   # no FN ever
+    n, m, k = 5000, 1 << 16, 7
+    analytic = (1 - np.exp(-k * n / m)) ** k
+    fp = bf.contains_hashes(_stable_hash64(absent)).mean()
+    assert fp <= 2 * analytic and analytic < 0.25
+
+    mixed = pa.table({"key": pa.chunked_array([present, absent]).combine_chunks()})
+    new = bloom_filter_absent(rd.from_arrow(mixed).repartition(4), "key",
+                              bf).to_pandas()
+    assert not new["key"].str.startswith("doc-").any()         # seen all dropped
+    assert len(new) >= (1 - 2 * analytic) * len(absent)        # most new kept
+
+    other = BloomFilter(1 << 16, 7)
+    other.add_hashes(_stable_hash64(absent))
+    merged = BloomFilter(1 << 16, 7)
+    merged.merge(bf).merge(other)
+    assert merged.contains_hashes(_stable_hash64(present)).all()
+    assert merged.contains_hashes(_stable_hash64(absent)).all()
