@@ -737,6 +737,40 @@ def domain_stats_pages(sf_dir: str):
     return domain_stats(pages)
 
 
+def _url_variants(t: pa.Table) -> pa.Table:
+    """Deterministic messy-URL expansion of the fixture's clean page urls
+    (shared by the url_dedup_pages query and its DuckDB parity test):
+    each url yields 4 variants — itself, a tracking-params+reorder form,
+    an uppercase-host+default-port+fragment form, and a reordered-params
+    form. Canonical groups per url: {base, base?a=1&b=2}."""
+    urls = t["url"].to_pylist()
+    out = []
+    for u in urls:
+        head, path = u.split("/p/", 1)
+        out += [u,
+                u + "?utm_source=feed&b=2&a=1",
+                head.upper().replace("HTTPS://", "https://") + ":443/p/"
+                + path + "#frag",
+                u + "?b=2&utm_campaign=x&a=1"]
+    return pa.table({"url": pa.array(out, pa.string())})
+
+
+def url_dedup_pages(sf_dir: str):
+    """URL-level exact dedup over a deterministically-messied crawl
+    frontier: canonicalize (fragment/default-port/tracking-param/ordering
+    normalization) then combiner-first dedup to one row per canonical
+    URL. Rows-only driver check (pages isn't a driver view); hash-exact
+    DuckDB parity is pinned in test_url_dedup_vs_duckdb."""
+    from ..ops.webstats import url_dedup
+    from ..sources.synth import synthesize
+
+    fixture = synthesize(n_pages=400)
+    pages = rd.read_parquet(os.path.join(fixture, "pages"),
+                            columns=["url"], override_num_blocks=2)
+    return url_dedup(pages.map_batches(_url_variants,
+                                       batch_format="pyarrow"))
+
+
 def multimodal_audio(sf_dir: str):
     """Real RIFF/WAVE container decode over synthetic audio payloads
     (channels / rate / bits / frame count / duration); corrupt payloads
@@ -813,6 +847,7 @@ QUERIES = {
     "kg_misses": kg_misses,
     "multimodal_features": multimodal_features,
     "domain_stats_pages": domain_stats_pages,
+    "url_dedup_pages": url_dedup_pages,
     "multimodal_audio": multimodal_audio,
     "multimodal_video_frames": multimodal_video_frames,
 }

@@ -1007,3 +1007,72 @@ def test_bloom_filter_properties(ray_session):
     merged.merge(bf).merge(other)
     assert merged.contains_hashes(_stable_hash64(present)).all()
     assert merged.contains_hashes(_stable_hash64(absent)).all()
+
+
+def test_canonicalize_urls_pinned():
+    """Every canonicalization rule on literal fixtures: fragment strip,
+    scheme/host lowercase (path case preserved), default-port strip
+    (incl. NOT stripping non-default ports), tracking-param drop, param
+    sort, empty-param drop, bare '?', schemeless -> null."""
+    from graphene_loader_ray.ops.webstats import canonicalize_urls
+
+    cases = {
+        "HTTPS://Host.Example:443/P/x?utm_source=a&b=2&a=1#f":
+            "https://host.example/P/x?a=1&b=2",
+        "http://h.example:80/x?b=2&a=1&": "http://h.example/x?a=1&b=2",
+        "http://h.example:8080/x": "http://h.example:8080/x",
+        "https://h.example/p?utm_campaign=z&fbclid=1&gclid&msclkid=2":
+            "https://h.example/p",
+        "https://h.example/p?": "https://h.example/p",
+        "https://h.example/p#only-frag": "https://h.example/p",
+        "relative/path": None,
+        "https://h.example": "https://h.example",
+    }
+    out = canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert out == list(cases.values())
+
+
+def test_url_dedup_vs_duckdb(smoke_fixture_dir, ray_session):
+    """url_dedup (canonicalize + combiner-first min/count) equals the
+    same canonicalization spelled in DuckDB SQL over the identical
+    variantized frontier — hash-exact."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.webstats import url_dedup
+    from graphene_loader_ray.pipelines.queries import _url_variants
+
+    pages = rd.read_parquet(smoke_fixture_dir + "/pages", columns=["url"],
+                            override_num_blocks=2)
+    variants = pages.map_batches(_url_variants, batch_format="pyarrow")
+    out = url_dedup(variants).to_pandas() \
+        .sort_values("canonical_url").reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    raw = pq.read_table(smoke_fixture_dir + "/pages", columns=["url"])
+    vt = _url_variants(raw)
+    con = duckdb.connect()
+    con.register("v", vt)
+    gold = con.execute(r"""
+        WITH s AS (SELECT url, regexp_replace(url, '#.*$', '') AS u0 FROM v),
+        p AS (SELECT url,
+          lower(regexp_extract(u0, '^([^/?#]*://[^/?#]*)', 1)) AS head0,
+          regexp_extract(u0, '^[^/?#]*://[^/?#]*([^?#]*)', 1) AS path,
+          CASE WHEN contains(u0, '?')
+               THEN regexp_extract(u0, '\?(.*)$', 1) END AS q
+          FROM s),
+        n AS (SELECT url,
+          regexp_replace(regexp_replace(head0,
+              '^(https://[^/?#:]*):443$', '\1'),
+              '^(http://[^/?#:]*):80$', '\1') || path AS base,
+          CASE WHEN q IS NULL THEN NULL ELSE
+            array_to_string(list_sort(list_filter(string_split(q, '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)'))), '&')
+          END AS q2 FROM p)
+        SELECT base || CASE WHEN q2 IS NULL OR q2 = '' THEN ''
+                            ELSE '?' || q2 END AS canonical_url,
+               min(url) AS url, CAST(count(*) AS BIGINT) AS n_variants
+        FROM n GROUP BY 1 ORDER BY 1""").fetchdf()
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
+    assert (out["n_variants"] == 2).all()        # 4 variants -> 2 groups
