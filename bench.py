@@ -57,7 +57,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "multimodal_features", "multimodal_audio",
                "multimodal_video_frames", "domain_stats_pages",
                "stratified_documents", "doc_length_band",
-               "bloom_new_documents", "url_dedup_pages"]
+               "bloom_new_documents", "url_dedup_pages",
+               "shipping_priority"]
 
 
 def _pool(ncpu: int) -> int:

@@ -185,6 +185,96 @@ def revenue_by_priority(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selections on every table, per-order revenue aggregate, global
+    top-10. Scale plan: segment filter → keyed SEMI join on custkey (no
+    payload moves), lineitem pre-aggregated per order IN BATCH, the
+    order⋈revenue join and per-order sum fold into one orderkey-hashed
+    pass, and each partition emits only its local top-10 — the global
+    sort sees P×10 rows."""
+    import pandas as pd
+
+    from ..ops.join import equi_join
+    from ..ops.partition import group_partitioned
+
+    cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                   .select(["c_custkey"]), batch_format="pyarrow")
+    ords = _read(sf_dir, "orders",
+                 columns=["o_orderkey", "o_custkey", "o_orderdate",
+                          "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff))
+                   .rename_columns(["o_orderkey", "c_custkey",
+                                    "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+    ords = equi_join(ords, cust, on=["c_custkey"], how="left_semi",
+                     num_partitions=8).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "rev_e4": pa.nulls(t.num_rows, pa.int64()),
+                            "o_orderdate": t["o_orderdate"],
+                            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow")
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        r = pc.multiply(_cents(t["l_extendedprice"]),
+                        pc.subtract(pa.scalar(100, pa.int64()),
+                                    _cents(t["l_discount"])))
+        g = pa.table({"o_orderkey": t["l_orderkey"], "rev_e4": r}) \
+            .group_by("o_orderkey").aggregate([("rev_e4", "sum")])
+        n = g.num_rows
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         "rev_e4": g["rev_e4_sum"],
+                         "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                         "o_orderpriority": pa.nulls(n, pa.string())})
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"]) \
+        .map_batches(rev_partial, batch_format="pyarrow",
+                     batch_size=65536)
+
+    def join_topk(part: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o_orderkey": pd.Series(dtype="int64"),
+                "revenue_c": pd.Series(dtype="int64"),
+                "o_orderdate": pd.Series(dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series(dtype=object)}
+        if part.empty:
+            return pd.DataFrame(cols)
+        li_rows = part[part["o_orderpriority"].isna()]
+        o_rows = part[part["o_orderpriority"].notna()]
+        per_order = li_rows.groupby("o_orderkey", sort=False)["rev_e4"] \
+            .sum().astype("int64").reset_index()
+        m = o_rows[["o_orderkey", "o_orderdate", "o_orderpriority"]] \
+            .merge(per_order, on="o_orderkey", how="inner")
+        if m.empty:
+            return pd.DataFrame(cols)
+        # round e4 -> cents BEFORE ranking so ties order exactly like the
+        # SQL twin (which ranks by the rounded revenue)
+        m["revenue_c"] = (m["rev_e4"].to_numpy() + 50) // 100
+        return m.sort_values(["revenue_c", "o_orderdate", "o_orderkey"],
+                             ascending=[False, True, True]).head(10) \
+                [["o_orderkey", "revenue_c", "o_orderdate",
+                  "o_orderpriority"]]
+
+    tops = group_partitioned(ords.union(li), ["o_orderkey"], join_topk,
+                             num_partitions=8)
+    out = tops.sort(["revenue_c", "o_orderdate", "o_orderkey"],
+                    descending=[True, False, False]).limit(10)
+    return out.map_batches(
+        lambda t: pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "revenue": pc.divide(pc.cast(t["revenue_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"]}),
+        batch_format="pyarrow", batch_size=16)
+
+
 def top10_orders(sf_dir: str):
     """Global top-k: sort + limit (ties broken by key for determinism)."""
     return _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
@@ -805,6 +895,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "mktsegment_order_stats": mktsegment_order_stats,
     "revenue_by_priority": revenue_by_priority,
+    "shipping_priority": shipping_priority,
     "top10_orders": top10_orders,
     "top3_orders_per_priority": top3_orders_per_priority,
     "customers_without_orders": customers_without_orders,
@@ -894,6 +985,20 @@ ORACLE_SQL = {
     "top10_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                    AS DOUBLE) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, o_orderkey LIMIT 10
     """,
     "top3_orders_per_priority": """
         SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
