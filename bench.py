@@ -58,7 +58,7 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "multimodal_video_frames", "domain_stats_pages",
                "stratified_documents", "doc_length_band",
                "bloom_new_documents", "url_dedup_pages",
-               "shipping_priority"]
+               "shipping_priority", "span_dedup_docs"]
 
 
 def _pool(ncpu: int) -> int:

@@ -1,0 +1,155 @@
+"""Corpus-level duplicate-span removal (the C4 / CCNet "remove any line
+seen elsewhere in the corpus" rule, keep-first-occurrence): documents are
+chunked into consecutive ≤10-word spans, every span that occurs more than
+once in the WHOLE corpus is kept only at its first occurrence (smallest
+(doc_id, position)), and documents are reassembled without the dropped
+spans.
+
+Chunking is one greedy RE2 pattern (``\\S+( \\S+){0,9}``) so the DuckDB
+twin (regexp_extract_all — also RE2) produces byte-identical spans; the
+first-occurrence winner is the min of an encoded ``doc_id*2^20 + idx``
+key, so it is total-ordered and partition-independent.
+
+Scale shape: the explode is a pure map (same bytes as the corpus). The
+winner table is DISTINCT-span-sized and aggregated combiner-first (one
+min per span hash per batch). Resolution auto-switches: if few spans are
+actually duplicated (the normal web case — boilerplate is a small
+fraction of distinct spans), the dup winners broadcast via ``ray.put``
+and occurrences filter map-side with NO shuffle; above
+``broadcast_max`` dups it falls back to a hash-partitioned join. The
+reassembly groupby(doc_id) is the one unavoidable corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+from .partition import group_partitioned
+
+_CHUNK = re.compile(r"\S+( \S+){0,9}")
+_IDX_BITS = 20          # positions per document < 2^20 (docs < ~10M words)
+
+
+class _Explode:
+    """doc -> one row per span: (doc_id, idx [1-based], chunk, h, k)."""
+
+    def __init__(self, text_col: str, id_col: str):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, idxs, chunks = [], [], []
+        for did, text in zip(t[self.id_col].to_pylist(),
+                             t[self.text_col].to_pylist()):
+            spans = [m.group(0) for m in _CHUNK.finditer(text or "")]
+            doc_ids.extend([did] * len(spans))
+            idxs.extend(range(1, len(spans) + 1))
+            chunks.extend(spans)
+        h = [hashlib.md5(c.encode()).hexdigest() for c in chunks]
+        ids = np.asarray(doc_ids, dtype=np.int64)
+        ix = np.asarray(idxs, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "idx": pa.array(ix, pa.int64()),
+            "chunk": pa.array(chunks, pa.string()),
+            "h": pa.array(h, pa.string()),
+            "k": pa.array((ids << _IDX_BITS) + ix, pa.int64())})
+
+
+def _winners(occ: Dataset) -> Dataset:
+    """(h, wk=min k, n=occurrences) per distinct span — combiner-first."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["h", "k"]).group_by("h") \
+            .aggregate([("k", "min"), ("k", "count")])
+        return pa.table({"h": g["h"], "wk": g["k_min"],
+                         "n": pc.cast(g["k_count"], pa.int64())})
+
+    return occ.map_batches(partial, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("wk", alias_name="wk"),
+                                Sum("n", alias_name="n"))
+
+
+def span_dedup(docs: Dataset, text_col: str = "text",
+               id_col: str = "doc_id", broadcast_max: int = 2_000_000,
+               num_partitions: int = 16) -> Dataset:
+    """One row per document: ``doc_id``, ``text`` (spans deduplicated
+    corpus-wide, first occurrence kept, null if nothing survived),
+    ``n_total`` and ``n_kept`` span counts."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    occ = docs.map_batches(_Explode(text_col, id_col),
+                           batch_format="pyarrow")
+    win = _winners(occ)
+
+    # distinct DUPLICATED spans only — object-store blocks, never driver
+    # rows until the size check passes
+    dup = win.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)).select(["h", "wk"]),
+        batch_format="pyarrow").materialize()
+    if dup.count() <= broadcast_max:
+        dup_tbl = dup.to_pandas()
+        handle = ray.put(dict(zip(dup_tbl["h"], dup_tbl["wk"])))
+
+        def mark(t: pa.Table) -> pa.Table:
+            wk = pd.Series(t["h"].to_pandas()).map(ray.get(handle))
+            miss = wk.isna().to_numpy()
+            wk_i = wk.fillna(-1).astype("int64").to_numpy()  # stay integer
+            keep = miss | (wk_i == t["k"].to_numpy())
+            return t.append_column("keep", pa.array(keep, pa.bool_()))
+
+        marked = occ.map_batches(mark, batch_format="pyarrow")
+    else:
+        # Corpus-scale duplicated-span set: resolve with two keyed
+        # shuffles of the occurrences instead of a broadcast — an
+        # anti-join marks never-duplicated spans keep=True, an inner
+        # join compares duplicated occurrences against their winner.
+        from .join import equi_join
+        nondup = equi_join(occ, dup.select_columns(["h"]), on=["h"],
+                           how="left_anti",
+                           num_partitions=num_partitions) \
+            .map_batches(lambda t: t.append_column(
+                "keep", pa.array(np.ones(t.num_rows, dtype=bool))),
+                batch_format="pyarrow")
+        dupocc = equi_join(occ, dup.select_columns(["h", "wk"]),
+                           on=["h"], num_partitions=num_partitions) \
+            .map_batches(lambda t: t.append_column(
+                "keep", pc.equal(t["wk"], t["k"])).drop_columns(["wk"]),
+                batch_format="pyarrow")
+        marked = nondup.union(dupocc)
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "text": pd.Series(dtype=object),
+                "n_total": pd.Series(dtype="int64"),
+                "n_kept": pd.Series(dtype="int64")})
+        df = df.sort_values(["doc_id", "idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        kept = df[df["keep"]].groupby("doc_id", sort=False)
+        text = kept["chunk"].agg(" ".join)
+        out = pd.DataFrame({
+            "n_total": g.size().astype("int64"),
+            "n_kept": kept.size().reindex(g.size().index,
+                                          fill_value=0).astype("int64")})
+        out["text"] = text.reindex(out.index)
+        out = out.reset_index()[["doc_id", "text", "n_total", "n_kept"]]
+        # the join fallback path reaches pandas as nullable Int64 (merge
+        # upcast); doc_id is null-free by construction — pin plain int64
+        out["doc_id"] = out["doc_id"].astype("int64")
+        return out
+
+    return group_partitioned(marked.select_columns(
+        ["doc_id", "idx", "chunk", "keep"]), ["doc_id"], reassemble,
+        num_partitions=num_partitions)

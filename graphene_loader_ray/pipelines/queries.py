@@ -578,6 +578,18 @@ def doc_length_band(sf_dir: str):
         key="lang", value_col="n_chars", lo=0.05, hi=0.95)
 
 
+def span_dedup_docs(sf_dir: str):
+    """C4/CCNet-style corpus-level duplicate-span removal: consecutive
+    ≤10-word spans (one greedy RE2 chunking, identical in Arrow and
+    DuckDB), every span occurring more than once corpus-wide kept only at
+    its first (doc_id, position) occurrence, documents reassembled
+    without the rest. Broadcast resolution of the (small) duplicated-span
+    set; auto-falls back to a keyed join when it isn't small."""
+    from ..ops.span_dedup import span_dedup
+    return span_dedup(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+
+
 def bloom_new_documents(sf_dir: str):
     """Incremental-ingest dedup: a Bloom filter built over the texts of a
     'previously ingested' half of the corpus (even doc_id), broadcast
@@ -915,6 +927,7 @@ QUERIES = {
     "stratified_documents": stratified_documents,
     "doc_length_band": doc_length_band,
     "bloom_new_documents": bloom_new_documents,
+    "span_dedup_docs": span_dedup_docs,
     "shuffled_documents": shuffled_documents,
     "text_stats": text_statistics,
     "text_quality": text_quality,
@@ -1099,6 +1112,25 @@ ORACLE_SQL = {
     """,
     "sample_documents": """
         SELECT doc_id, text FROM documents WHERE md5(text) < '4'
+    """,
+    "span_dedup_docs": r"""
+        WITH ex AS (
+          SELECT doc_id, unnest(l) AS chunk,
+                 unnest(range(1, len(l) + 1)) AS idx
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text, '\S+( \S+){0,9}') AS l
+                FROM documents) s),
+        occ AS (
+          SELECT doc_id, idx, chunk,
+                 doc_id * 1048576 + idx AS k, md5(chunk) AS h FROM ex),
+        win AS (SELECT h, min(k) AS wk FROM occ GROUP BY h)
+        SELECT doc_id,
+               string_agg(CASE WHEN k = wk THEN chunk END, ' '
+                          ORDER BY idx) AS text,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(CASE WHEN k = wk THEN 1 END) AS BIGINT) AS n_kept
+        FROM occ JOIN win USING (h)
+        GROUP BY doc_id
     """,
     "doc_length_band": """
         WITH b AS (SELECT lang,

@@ -1076,3 +1076,64 @@ def test_url_dedup_vs_duckdb(smoke_fixture_dir, ray_session):
         FROM n GROUP BY 1 ORDER BY 1""").fetchdf()
     pd.testing.assert_frame_equal(out, gold, check_exact=True)
     assert (out["n_variants"] == 2).all()        # 4 variants -> 2 groups
+
+
+def test_span_dedup_vs_duckdb(ray_session):
+    """Corpus-level duplicate-span removal equals the identical rule
+    spelled in DuckDB (RE2 chunking, min-(doc_id,idx) winner,
+    order-preserving reassembly) — hash-exact — and the corpus-scale
+    join path returns exactly the broadcast path's rows."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.span_dedup import span_dedup
+
+    rng = np.random.default_rng(17)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    boiler = "subscribe to our newsletter for updates every single day ok"
+    docs = []
+    for i in range(60):
+        body = " ".join(rng.choice(words, size=int(rng.integers(5, 40))))
+        if i % 3 == 0:                       # plant corpus-wide boilerplate
+            body = boiler + " " + body
+        if i % 7 == 0:
+            body = body + " " + boiler
+        docs.append(body)
+    docs[10] = boiler                        # doc that is ONLY boilerplate
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(docs)})
+
+    results = {}
+    for label, bmax in (("broadcast", 2_000_000), ("join", 0)):
+        out = span_dedup(rd.from_arrow(t).repartition(4),
+                         broadcast_max=bmax, num_partitions=4) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        results[label] = out
+    pd.testing.assert_frame_equal(results["broadcast"], results["join"],
+                                  check_exact=True)
+
+    con = duckdb.connect()
+    con.register("docs", t)
+    gold = con.execute(r"""
+        WITH ex AS (
+          SELECT doc_id, unnest(l) AS chunk,
+                 unnest(range(1, len(l) + 1)) AS idx
+          FROM (SELECT doc_id,
+                       regexp_extract_all(text, '\S+( \S+){0,9}') AS l
+                FROM docs) s),
+        occ AS (
+          SELECT doc_id, idx, chunk,
+                 doc_id * 1048576 + idx AS k, md5(chunk) AS h FROM ex),
+        win AS (SELECT h, min(k) AS wk FROM occ GROUP BY h)
+        SELECT doc_id,
+               string_agg(CASE WHEN k = wk THEN chunk END, ' '
+                          ORDER BY idx) AS text,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(count(CASE WHEN k = wk THEN 1 END) AS BIGINT) AS n_kept
+        FROM occ JOIN win USING (h)
+        GROUP BY doc_id ORDER BY doc_id""").fetchdf()
+    pd.testing.assert_frame_equal(results["broadcast"], gold,
+                                  check_exact=True)
+    out = results["broadcast"]
+    assert (out["n_kept"] < out["n_total"]).sum() >= 20   # dups were cut
+    assert out.loc[0, "n_kept"] > 0                       # first occ kept
