@@ -528,7 +528,8 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
                         text_col: str = "text", id_col: str = "doc_id",
                         max_posting: int = 128, num_partitions: int = 16,
                         stats_out: dict | None = None,
-                        hashed: bool = False) -> Dataset:
+                        hashed: bool = False,
+                        size_join_min: int = 5_000_000) -> Dataset:
     """EXACT word-n-gram Jaccard near-dup pairs via a distributed
     inverted index — the no-recall-loss member of the dedup family
     (MinHash+LSH approximates exactly this; hash-green against a DuckDB
@@ -537,9 +538,11 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
     Shape: per-doc DISTINCT string shingles explode to (shingle, doc)
     rows → hash-partitioned posting lists emit co-occurring pairs with
     in-partition partial counts (a shingle lives wholly in one partition)
-    → one (a, b) count-sum shuffle gives intersection sizes → two keyed
-    joins attach the per-doc set sizes (computed ONLY for candidate docs
-    via a broadcast id semi-join) → jaccard = i/(|a|+|b|-i).
+    → one (a, b) count-sum shuffle gives intersection sizes → per-doc set
+    sizes (computed ONLY for candidate docs via a broadcast id semi-join)
+    attach via a size-map broadcast (candidate ids are on the driver
+    anyway, so this adds no bound) or, above ``size_join_min``
+    candidates, via two keyed joins → jaccard = i/(|a|+|b|-i).
 
     Scale notes: the doc corpus is never materialized — it streams twice
     (shingle explode + candidate-size scan). Postings longer than
@@ -666,18 +669,41 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
         return pa.table({"doc_id": kept[id_col],
                          "n_sh": pa.array(ns, pa.int64())})
 
-    sizes = docs.map_batches(sizes_batch,
-                             batch_format="pyarrow").materialize()
-    from .join import equi_join
-    sa = sizes.map_batches(
-        lambda t: pa.table({"a": t["doc_id"], "na": t["n_sh"]}),
-        batch_format="pyarrow")
-    sb = sizes.map_batches(
-        lambda t: pa.table({"b": t["doc_id"], "nb": t["n_sh"]}),
-        batch_format="pyarrow")
-    joined = equi_join(equi_join(cand, sa, on=["a"],
-                                 num_partitions=num_partitions),
-                       sb, on=["b"], num_partitions=num_partitions)
+    sizes = docs.map_batches(sizes_batch, batch_format="pyarrow")
+
+    if len(ray.get(ids_ref)) <= size_join_min:
+        # The candidate id set ALREADY sits on the driver (ids_ref) — so
+        # broadcasting the candidate sizes (8 B each, same population,
+        # same bound) costs nothing new and deletes BOTH keyed size
+        # joins: 4 exchanges → 2 for the whole op.
+        size_map: dict[int, int] = {}
+        for sb_ in sizes.iter_batches(batch_format="pyarrow"):
+            size_map.update(zip(sb_["doc_id"].to_pylist(),
+                                sb_["n_sh"].to_pylist()))
+        sizes_ref = ray.put(size_map)
+
+        def attach_sizes(t: pa.Table) -> pa.Table:
+            m = ray.get(sizes_ref)
+            na = [m[a] for a in t["a"].to_pylist()]
+            nb = [m[b] for b in t["b"].to_pylist()]
+            return t.append_column("na", pa.array(na, pa.int64())) \
+                    .append_column("nb", pa.array(nb, pa.int64()))
+
+        joined = cand.map_batches(attach_sizes, batch_format="pyarrow")
+    else:
+        # candidate population too big to hold twice on the driver:
+        # attach sizes with two keyed joins instead (no broadcast)
+        from .join import equi_join
+        sizes = sizes.materialize()
+        sa = sizes.map_batches(
+            lambda t: pa.table({"a": t["doc_id"], "na": t["n_sh"]}),
+            batch_format="pyarrow")
+        sb = sizes.map_batches(
+            lambda t: pa.table({"b": t["doc_id"], "nb": t["n_sh"]}),
+            batch_format="pyarrow")
+        joined = equi_join(equi_join(cand, sa, on=["a"],
+                                     num_partitions=num_partitions),
+                           sb, on=["b"], num_partitions=num_partitions)
 
     def score(batch: pa.Table) -> pa.Table:
         out_a, out_b, jac = [], [], []

@@ -1137,3 +1137,14 @@ def test_span_dedup_vs_duckdb(ray_session):
     out = results["broadcast"]
     assert (out["n_kept"] < out["n_total"]).sum() >= 20   # dups were cut
     assert out.loc[0, "n_kept"] > 0                       # first occ kept
+
+
+def test_ngram_jaccard_size_paths_equal(doc_ds):
+    """The broadcast size-map path (default) and the two-keyed-join
+    fallback return identical pairs and scores."""
+    from graphene_loader_ray.ops.dedup import ngram_jaccard_pairs
+
+    outs = [ngram_jaccard_pairs(doc_ds, threshold=0.1, size_join_min=m)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+            for m in (5_000_000, 0)]
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
