@@ -83,40 +83,39 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
     tagged = left.map_batches(tag("l", rcols, rschema), batch_format="pyarrow") \
         .union(right.map_batches(tag("r", lcols, lschema), batch_format="pyarrow"))
 
-    # declared-integer columns: the tagged union null-pads the other side's
-    # columns, so partitions holding both sides see int64-with-nulls →
-    # pandas upcasts the WHOLE column to float64, while one-sided
-    # partitions keep int64 — mixed-dtype blocks crash the next shuffle's
-    # sort merge ("Types mismatch: double != int64"). Restore the declared
-    # dtype on the way out (nullable Int64 → arrow int64, nulls preserved).
-    int_cols = {n for sch in (lschema, rschema)
-                for n, t in zip(sch.names, sch.types)
-                if pa.types.is_integer(t)}
+    # The tagged union null-pads the other side's columns, so a partition
+    # holding both sides carries int64-with-nulls. A whole-table pandas
+    # conversion would upcast those to float64 — which both crashes the
+    # next shuffle on mixed-dtype blocks AND silently ROUNDS int64 values
+    # above 2^53 (hash-derived ids). So the match UDF receives ARROW,
+    # splits the sides, and converts each side without the padded columns;
+    # genuinely-null int columns map to pandas nullable Int dtypes (exact).
+    _PD_INT = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype(),
+               pa.int16(): pd.Int16Dtype(), pa.int8(): pd.Int8Dtype(),
+               pa.uint64(): pd.UInt64Dtype(), pa.uint32(): pd.UInt32Dtype(),
+               pa.uint16(): pd.UInt16Dtype(), pa.uint8(): pd.UInt8Dtype()}
 
-    def restore_ints(out: pd.DataFrame) -> pd.DataFrame:
-        for c in out.columns:
-            if c in int_cols and out[c].dtype.kind == "f":
-                out[c] = out[c].astype("Int64")
-        return out
-
-    def match(part: pd.DataFrame) -> pd.DataFrame:
+    def match(part: pa.Table) -> pd.DataFrame:
         """One vectorized pandas merge per hash partition (NOT per key —
         per-key UDF dispatch dominates at high key cardinality)."""
-        lhs = part[part[_SIDE] == "l"]
-        rhs = part[part[_SIDE] == "r"]
+        import pyarrow.compute as pc
+        is_l = pc.equal(part[_SIDE], "l")
+        lhs = part.filter(is_l).select(on + lcols) \
+            .to_pandas(types_mapper=_PD_INT.get)
+        rhs = part.filter(pc.invert(is_l)).select(on + rcols) \
+            .to_pandas(types_mapper=_PD_INT.get)
         if how == "inner":
-            out = lhs[on + lcols].merge(rhs[on + rcols], on=on, how="inner")
-            return restore_ints(out.reindex(columns=on + lcols + rcols))
+            out = lhs.merge(rhs, on=on, how="inner")
+            return out.reindex(columns=on + lcols + rcols)
         keys_r = rhs[on].drop_duplicates()
         if how == "left_semi":
-            return restore_ints(lhs[on + lcols].merge(keys_r, on=on,
-                                                      how="inner"))
+            return lhs.merge(keys_r, on=on, how="inner")
         if how == "left_anti":
-            marked = lhs[on + lcols].merge(
-                keys_r.assign(__hit=1), on=on, how="left")
-            return restore_ints(marked[marked["__hit"].isna()][on + lcols])
+            marked = lhs.merge(keys_r.assign(__hit=1), on=on, how="left")
+            return marked[marked["__hit"].isna()][on + lcols]
         raise ValueError(how)
 
     from .partition import group_partitioned
     return group_partitioned(tagged, on, match,
-                             num_partitions=num_partitions)
+                             num_partitions=num_partitions,
+                             batch_format="pyarrow")

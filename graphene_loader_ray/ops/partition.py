@@ -23,11 +23,15 @@ _PART = "__hash_part"
 
 
 def group_partitioned(ds: Dataset, keys: list[str],
-                      fn: Callable[[pd.DataFrame], pd.DataFrame],
-                      num_partitions: int = 16) -> Dataset:
+                      fn: Callable,
+                      num_partitions: int = 16,
+                      batch_format: str = "pandas") -> Dataset:
     """Apply ``fn`` once per hash partition of ``keys``. ``fn`` sees every
     row of every key hashed into its partition (all rows of one key are in
-    exactly one partition) and returns any DataFrame."""
+    exactly one partition) and returns any DataFrame (or, with
+    ``batch_format="pyarrow"``, receives a pa.Table — use that whenever the
+    partition carries int64 columns WITH nulls: the pandas conversion
+    upcasts those to float64 and silently rounds values above 2^53)."""
 
     import pyarrow as pa
 
@@ -49,11 +53,15 @@ def group_partitioned(ds: Dataset, keys: list[str],
         h = pd.util.hash_pandas_object(key_df, index=False) % num_partitions
         return t.append_column(_PART, pa.array(h.to_numpy(), pa.uint64()))
 
-    def run(group: pd.DataFrame) -> pd.DataFrame:
-        return fn(group.drop(columns=[_PART]))
+    if batch_format == "pyarrow":
+        def run(group: pa.Table):
+            return fn(group.drop_columns([_PART]))
+    else:
+        def run(group: pd.DataFrame):
+            return fn(group.drop(columns=[_PART]))
 
     out = ds.map_batches(add_part, batch_format="pyarrow") \
-        .groupby(_PART).map_groups(run, batch_format="pandas")
+        .groupby(_PART).map_groups(run, batch_format=batch_format)
     # Normalize block types: Ray's sort shuffle emits empty PANDAS blocks
     # for empty partitions and the map operator passes empty blocks through
     # without running the UDF — leaving a pandas/arrow mix that crashes

@@ -36,6 +36,11 @@ from .partition import group_partitioned
 
 _CHUNK = re.compile(r"\S+( \S+){0,9}")
 _IDX_BITS = 20          # positions per document < 2^20 (docs < ~10M words)
+# k = (doc_id << 20) + idx. For doc ids above 2^43 the shift wraps mod
+# 2^64 (numpy semantics, identical everywhere the key is computed): the
+# winner is then an arbitrary-but-deterministic occurrence rather than
+# the smallest (doc_id, idx) — still a valid keep-exactly-one rule, and
+# the one hash-derived ids (pipelines/curate.py) rely on.
 
 
 class _Explode:
@@ -102,10 +107,14 @@ def span_dedup(docs: Dataset, text_col: str = "text",
         handle = ray.put(dict(zip(dup_tbl["h"], dup_tbl["wk"])))
 
         def mark(t: pa.Table) -> pa.Table:
-            wk = pd.Series(t["h"].to_pandas()).map(ray.get(handle))
-            miss = wk.isna().to_numpy()
-            wk_i = wk.fillna(-1).astype("int64").to_numpy()  # stay integer
-            keep = miss | (wk_i == t["k"].to_numpy())
+            # dict.get into an int64 buffer — Series.map would upcast the
+            # misses to float64 and ROUND keys above 2^53 (doc ids from
+            # hashes), making the winner equality silently match nothing
+            m = ray.get(handle)
+            hs = t["h"].to_pylist()
+            wk_i = np.fromiter((m.get(h, -1) for h in hs),
+                               dtype=np.int64, count=len(hs))
+            keep = (wk_i == -1) | (wk_i == t["k"].to_numpy())
             return t.append_column("keep", pa.array(keep, pa.bool_()))
 
         marked = occ.map_batches(mark, batch_format="pyarrow")

@@ -873,6 +873,28 @@ def url_dedup_pages(sf_dir: str):
                                        batch_format="pyarrow"))
 
 
+_PAGES_BY_SF = {"0.001": 400, "0.01": 2000, "0.1": 20000}
+
+
+def curate_web_pages(sf_dir: str):
+    """The webtext flagship composition: extract → URL canonicalize +
+    dedup → quality/lang filter → per-lang length band → corpus-level
+    span dedup → exact text dedup, as ONE streaming pipeline
+    (pipelines/curate.py). Rows-only driver row; determinism, funnel
+    monotonicity and stage semantics are pinned in
+    test_curate_pages_pipeline."""
+    from ..pipelines.curate import curate_pages
+    from ..sources.synth import synthesize
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _PAGES_BY_SF.get(tag, 400)
+    fixture = synthesize(n_pages=n)
+    pages = rd.read_parquet(os.path.join(fixture, "pages"),
+                            columns=["url", "warc_ts", "lang", "html"],
+                            override_num_blocks=max(2, n // 1000))
+    return curate_pages(pages)
+
+
 def multimodal_audio(sf_dir: str):
     """Real RIFF/WAVE container decode over synthetic audio payloads
     (channels / rate / bits / frame count / duration); corrupt payloads
@@ -952,6 +974,7 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "domain_stats_pages": domain_stats_pages,
     "url_dedup_pages": url_dedup_pages,
+    "curate_web_pages": curate_web_pages,
     "multimodal_audio": multimodal_audio,
     "multimodal_video_frames": multimodal_video_frames,
 }

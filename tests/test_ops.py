@@ -1138,6 +1138,21 @@ def test_span_dedup_vs_duckdb(ray_session):
     assert (out["n_kept"] < out["n_total"]).sum() >= 20   # dups were cut
     assert out.loc[0, "n_kept"] > 0                       # first occ kept
 
+    # hash-scale doc ids (> 2^53): the winner key must survive exactly —
+    # a float64 round-trip anywhere silently deduplicates NOTHING (or
+    # everything); exactly one of the two docs may lose the shared span
+    big = pa.table({
+        "doc_id": pa.array([8987654566713296024, 2659271329261968917],
+                           pa.int64()),
+        "text": pa.array(["shared span one two three four five six "
+                          "seven eight tail x",
+                          "shared span one two three four five six "
+                          "seven eight other y"])})
+    for bmax in (2_000_000, 0):
+        got = span_dedup(rd.from_arrow(big), broadcast_max=bmax,
+                         num_partitions=2).to_pandas()
+        assert sorted(got["n_kept"] - got["n_total"]) == [-1, 0], bmax
+
 
 def test_ngram_jaccard_size_paths_equal(doc_ds):
     """The broadcast size-map path (default) and the two-keyed-join
@@ -1148,3 +1163,67 @@ def test_ngram_jaccard_size_paths_equal(doc_ds):
             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
             for m in (5_000_000, 0)]
     pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+
+
+def test_curate_pages_pipeline(ray_session):
+    """The composed curation pipeline: quarantine dropped, canonical-URL
+    dups collapse to one, junk quality filtered, corpus-duplicated spans
+    removed from later docs, exact text dups collapse — and the whole
+    pipeline is partitioning-invariant."""
+    import ray.data as rd
+
+    from graphene_loader_ray.pipelines.curate import curate_pages
+
+    def page(url, body):
+        html = f"<html><article><p>{body}</p></article></html>".encode()
+        return {"url": url, "warc_ts": None, "lang": "en", "html": html}
+
+    boiler = ("subscribe to our newsletter today for the very best "
+              "updates and offers")
+    good = ("the quick brown fox jumps over the lazy dog and then walks "
+            "slowly back to the old barn where it sleeps")
+    rows = [
+        page("https://a.example/p/1?utm_source=x", good),          # dup of next
+        page("https://a.example/p/1", good),                       # URL-dup
+        page("https://b.example/p/2", boiler + " " + good),        # 1st boiler
+        page("https://c.example/p/3", boiler + " completely other "
+             "words about rivers and mountains under a bright sky"),
+        page("https://d.example/p/4", "??? !!! ... ;;; ###"),      # junk
+        page("https://e.example/p/5",
+             "these words are shared exactly between two documents "
+             "for the exact dedup stage to collapse"),
+        page("https://f.example/p/6",
+             "these words are shared exactly between two documents "
+             "for the exact dedup stage to collapse"),             # text-dup
+        {"url": "https://g.example/p/7", "warc_ts": None, "lang": "en",
+         "html": b"<html>no article here</html>"},                 # quarantine
+    ]
+    t = pa.Table.from_pylist(rows)
+
+    outs = []
+    for blocks in (1, 7):
+        out = curate_pages(rd.from_arrow(t).repartition(blocks),
+                           num_partitions=4).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    out = outs[0]
+
+    urls = set(out["url"])
+    assert "https://g.example/p/7" not in urls          # quarantined
+    assert "https://d.example/p/4" not in urls          # junk quality
+    # URL dedup: exactly one of the two a.example variants survived
+    assert len([u for u in urls if u.startswith("https://a.example")]) == 1
+    # exact text dedup: exactly one of e/f survived
+    assert len([u for u in urls if u[8] in "ef"]) == 1
+    # span dedup: b and c shared the boiler span; exactly one lost spans
+    bc = out[out["url"].str.contains("[bc].example", regex=True)]
+    assert len(bc) == 2
+    assert (bc["n_kept"] < bc["n_total"]).sum() == 1
+    assert (bc["n_kept"] == bc["n_total"]).sum() == 1
+    # the loser's text no longer contains the boilerplate
+    loser = bc[bc["n_kept"] < bc["n_total"]]["text"].iloc[0]
+    assert "subscribe to our newsletter" not in loser
+    assert (out["quality"] >= 0.4).all()
+    assert (out["host"] == out["url"].str.extract(
+        r"https://([^/]+)/", expand=False)).all()
