@@ -58,7 +58,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "multimodal_video_frames", "domain_stats_pages",
                "stratified_documents", "doc_length_band",
                "bloom_new_documents", "url_dedup_pages",
-               "shipping_priority", "span_dedup_docs"]
+               "shipping_priority", "span_dedup_docs", "curate_web_pages",
+               "kmeans_embeddings"]
 
 
 def _pool(ncpu: int) -> int:

@@ -97,6 +97,16 @@ def curate_pages(pages: Dataset, min_quality: float = 0.4,
     docs = docs.map_batches(ScoreFilter, concurrency=(1, 8),
                             batch_size=512, batch_format="pyarrow")
 
+    # Deliberate pipeline breaker: everything downstream consumes `docs`
+    # several times (percentile bounds pass, span-dedup winner pass,
+    # span-dedup mark pass, metadata join) and a lazy Dataset re-executes
+    # the whole read→extract→dedup→score prefix per consumer (measured 4×
+    # at sf0.01). The materialized set is the FILTERED corpus with html
+    # already projected away — object-store blocks with spill, far cheaper
+    # than recomputing extraction; at cluster scale a parquet checkpoint
+    # (pipelines/checkpoint.py) is the resumable equivalent.
+    docs = docs.materialize()
+
     docs = percentile_band_filter(docs, "lang_guess", "n_chars",
                                   lo=band[0], hi=band[1],
                                   num_partitions=num_partitions)

@@ -766,6 +766,44 @@ def knn_top10_ivf(sf_dir: str):
                    _query_vectors(sf_dir), k=10, n_cells=16, n_probe=4)
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k = the 10
+    planted label blobs), then per-cluster size + majority planted label
+    + its count. Rows-only: iterative, not SQL-expressible; convergence,
+    partitioning invariance and reference parity pinned in
+    test_kmeans_*."""
+    from ..ops.kmeans import assign_clusters, kmeans
+
+    # explicit small block count: each Lloyd iteration re-walks the
+    # blocks, so the default ~200-near-empty-block fan-out of a small
+    # read would cost 200 tasks × n_iter (small-read rule, BASELINE.md)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        override_num_blocks=8).materialize()
+    model = kmeans(ds, k=10)
+    assigned = assign_clusters(ds, model["centroids"])
+
+    def summarize(df):
+        import pandas as pd
+        top = df.groupby(["cluster", "label"]).size().reset_index(name="n")
+        top = top.sort_values(["cluster", "n", "label"],
+                              ascending=[True, False, True], kind="mergesort")
+        best = top.groupby("cluster", sort=False).head(1)
+        size = df.groupby("cluster").size()
+        return pd.DataFrame({
+            "cluster": best["cluster"].astype("int64"),
+            "n_vecs": size.loc[best["cluster"]].to_numpy().astype("int64"),
+            "majority_label": best["label"].astype("int64"),
+            "n_majority": best["n"].astype("int64")})
+
+    from ..ops.partition import group_partitioned
+    out = group_partitioned(
+        assigned.select_columns(["cluster", "label"]), ["cluster"],
+        summarize, num_partitions=4)
+    return out.sort("cluster")
+
+
 # ------------------------------------------------------------- KG pipeline
 
 _SF_PAGES = {"0.001": 400, "0.01": 1000, "0.1": 4000}
@@ -967,6 +1005,7 @@ QUERIES = {
     "knn_top10": knn_top10,
     "knn_top10_lsh": knn_top10_lsh,
     "knn_top10_ivf": knn_top10_ivf,
+    "kmeans_embeddings": kmeans_embeddings,
     "kg_triples": kg_triples,
     "kg_nodes": kg_nodes,
     "kg_mentions": kg_mentions,

@@ -1227,3 +1227,95 @@ def test_curate_pages_pipeline(ray_session):
     assert (out["quality"] >= 0.4).all()
     assert (out["host"] == out["url"].str.extract(
         r"https://([^/]+)/", expand=False)).all()
+
+
+def _blobs(n_per: int = 40, k: int = 3, dim: int = 8):
+    """Well-separated deterministic blobs; returns (table, labels)."""
+    rng = np.random.RandomState(7)
+    centers = np.eye(k, dim) * 50.0
+    vecs, labels = [], []
+    for c in range(k):
+        vecs.append(centers[c] + rng.randn(n_per, dim))
+        labels.extend([c] * n_per)
+    x = np.vstack(vecs)
+    t = pa.table({
+        "vec_id": pa.array(range(len(x)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in x],
+                              pa.list_(pa.float64()))})
+    return t, np.asarray(labels)
+
+
+def _lloyd_reference(x, ids, k, max_iter=20, tol=1e-9):
+    """Driver-side Lloyd with the engine's exact rules (md5-ordered
+    candidates → maximin init, ties to lowest cluster, empty keeps
+    previous)."""
+    import hashlib as _h
+    order = np.argsort(np.asarray(
+        [_h.md5(str(i).encode()).hexdigest() for i in ids]))
+    cand = x[order].astype(np.float64)
+    chosen = [0]
+    mind = ((cand - cand[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(mind))
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    cent = cand[chosen]
+    for n_iter in range(1, max_iter + 1):
+        d = -2.0 * (x @ cent.T) + (cent ** 2).sum(axis=1)
+        assign = np.argmin(d, axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new[c] = x[m].mean(axis=0)
+        shift = float(((new - cent) ** 2).sum(axis=1).max())
+        cent = new
+        if shift <= tol:
+            break
+    d = -2.0 * (x @ cent.T) + (cent ** 2).sum(axis=1)
+    return cent, np.argmin(d, axis=1), n_iter
+
+
+def test_kmeans_recovers_blobs_and_matches_reference(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.kmeans import assign_clusters, kmeans
+
+    t, labels = _blobs()
+    x = np.asarray([list(v) for v in t["embedding"].to_pylist()], np.float64)
+    ids = t["vec_id"].to_pylist()
+
+    model = kmeans(rd.from_arrow(t).repartition(5), k=3)
+    ref_cent, ref_assign, _ = _lloyd_reference(x, ids, k=3)
+    # same init + float64 partials → centroids equal to tight tolerance
+    assert np.allclose(model["centroids"], ref_cent, atol=1e-9)
+
+    got = assign_clusters(rd.from_arrow(t), model["centroids"]) \
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert (got == ref_assign).all()
+    # blob recovery: each planted label maps to exactly one cluster
+    mapping = {}
+    for lab, cl in zip(labels, got):
+        mapping.setdefault(lab, cl)
+        assert mapping[lab] == cl
+    assert len(set(mapping.values())) == 3
+
+    # inertia equals the reference inertia
+    d = ((x[:, None, :] - ref_cent[None, :, :]) ** 2).sum(axis=2)
+    assert abs(model["inertia"] - d.min(axis=1).sum()) < 1e-6
+
+
+def test_kmeans_partitioning_invariance(ray_session):
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.kmeans import assign_clusters, kmeans
+
+    t, _ = _blobs(n_per=30, k=4, dim=6)
+    runs = []
+    for blocks in (1, 7):
+        model = kmeans(rd.from_arrow(t).repartition(blocks), k=4)
+        a = assign_clusters(rd.from_arrow(t), model["centroids"]) \
+            .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+        runs.append((model["centroids"], a))
+    assert np.allclose(runs[0][0], runs[1][0], atol=1e-8)
+    assert (runs[0][1] == runs[1][1]).all()
