@@ -637,6 +637,20 @@ def top_terms(sf_dir: str):
                                   columns=["doc_id", "text"]), k=50)
 
 
+def lm_perplexity(sf_dir: str):
+    """CCNet-style unigram-LM document scoring: train the LM on the
+    corpus in one combiner-first counting pass, broadcast it, score every
+    document map-side. Integer micro-nat token costs make the sums
+    order-independent, so the DuckDB twin hash-matches exactly."""
+    from ..ops.lm import score_perplexity, train_unigram_lm
+
+    # consumed twice (train pass + score pass) — materialize once
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).materialize()
+    model = train_unigram_lm(docs, vocab_size=512)
+    return score_perplexity(docs, model)
+
+
 def text_repetition(sf_dir: str):
     """Gopher-style repetition signals (dup-word fraction, top-bigram /
     top-trigram share) — the repetitious-boilerplate filter of a web-scale
@@ -993,6 +1007,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_repetition": text_repetition,
     "top_terms": top_terms,
+    "lm_perplexity": lm_perplexity,
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
@@ -1338,6 +1353,36 @@ ORACLE_SQL = {
           FROM documents)
         SELECT term, CAST(count(*) AS BIGINT) AS n
         FROM w GROUP BY term ORDER BY n DESC, term LIMIT 50
+    """,
+    # unigram LM scoring: identical tokenization, add-one smoothing over
+    # the top-512 vocab + one OOV bucket, per-token cost floor(-ln(p)*1e6
+    # + 0.5) as BIGINT micro-nats (order-independent integer sums), mean
+    # NLL via half-up integer division — bit-identical to the engine
+    "lm_perplexity": """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '\\w+')) AS term
+          FROM documents),
+        counts AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+        vocab AS (SELECT term, c FROM counts ORDER BY c DESC, term
+                  LIMIT 512),
+        vn AS (SELECT count(*) AS v FROM vocab),
+        q AS (SELECT term,
+                     CAST(floor(-ln((c + 1.0) / (total + v + 1)) * 1e6
+                                + 0.5) AS BIGINT) AS q
+              FROM vocab, tot, vn),
+        oov AS (SELECT CAST(floor(-ln(1.0 / (total + v + 1)) * 1e6
+                                  + 0.5) AS BIGINT) AS q FROM tot, vn)
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(q.q, (SELECT q FROM oov)))
+                    AS BIGINT) AS lm_cost_micro,
+               CAST(((2 * sum(coalesce(q.q, (SELECT q FROM oov)))
+                      + 100 * count(*)) // (200 * count(*)))
+                    AS DOUBLE) / 10000 AS avg_nll
+        FROM w LEFT JOIN q USING (term)
+        GROUP BY w.doc_id
     """,
     # Gopher-style repetition signals: word-level dup fraction + top
     # bigram/trigram share (same ASCII-\w-over-lower tokenization and

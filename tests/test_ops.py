@@ -1319,3 +1319,42 @@ def test_kmeans_partitioning_invariance(ray_session):
         runs.append((model["centroids"], a))
     assert np.allclose(runs[0][0], runs[1][0], atol=1e-8)
     assert (runs[0][1] == runs[1][1]).all()
+
+
+def test_unigram_lm_scoring(ray_session):
+    """Train/score rules pinned on a tiny corpus: costs ordered
+    frequent < rare < OOV, exact integer cost arithmetic, zero-token
+    docs omitted, vocab cut at (count DESC, term)."""
+    import math
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.lm import (score_perplexity,
+                                            train_unigram_lm)
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["aa aa aa bb", "aa bb cc", "zz", "   "]})
+    docs = rd.from_arrow(t).repartition(2)
+    m = train_unigram_lm(docs, vocab_size=3)
+    # counts: aa=4 bb=2 cc=1 zz=1 → total 8; vocab(3) = aa,bb,cc (tie
+    # cc<zz by term); denom = 8+3+1
+    assert m["total"] == 8 and m["n_vocab"] == 3
+    assert list(m["terms"]) == ["aa", "bb", "cc"]
+
+    def q(c):
+        return math.floor(-math.log((c + 1.0) / 12.0) * 1e6 + 0.5)
+
+    cost = dict(zip(m["terms"], m["cost"]))
+    assert cost == {"aa": q(4), "bb": q(2), "cc": q(1)}
+    assert m["oov_cost"] == q(0)
+    assert cost["aa"] < cost["bb"] < cost["cc"] < m["oov_cost"]
+
+    out = score_perplexity(docs, m).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 3]          # doc 4 omitted
+    assert list(out["n_tokens"]) == [4, 3, 1]
+    assert out.loc[0, "lm_cost_micro"] == 3 * q(4) + q(2)
+    assert out.loc[2, "lm_cost_micro"] == m["oov_cost"]  # zz is OOV
+    c, n = out.loc[1, "lm_cost_micro"], 3
+    assert out.loc[1, "avg_nll"] == ((2 * c + 100 * n) // (200 * n)) / 1e4
