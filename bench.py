@@ -59,7 +59,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "stratified_documents", "doc_length_band",
                "bloom_new_documents", "url_dedup_pages",
                "shipping_priority", "span_dedup_docs", "curate_web_pages",
-               "kmeans_embeddings", "lm_perplexity"]
+               "kmeans_embeddings", "lm_perplexity",
+               "rebalanced_documents"]
 
 
 def _pool(ncpu: int) -> int:

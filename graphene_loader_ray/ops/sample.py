@@ -71,3 +71,79 @@ def stratified_sample_sql(table: str, key: str, id_col: str, k: int,
             f"PARTITION BY {key} "
             f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn "
             f"FROM {table}) WHERE rn <= {k}")
+
+
+def temperature_sample(ds: Dataset, key: str, id_col: str,
+                       alpha: float = 0.5, scale: float = 1.0,
+                       num_partitions: int = 16) -> Dataset:
+    """Temperature / alpha rebalancing (the multilingual-corpus mixing
+    rule): group ``l`` of size ``n_l`` keeps its
+    ``k_l = min(n_l, floor(scale · n_l^alpha + 0.5))`` rows with the
+    smallest ``md5(str(id))`` (ties by id) — after sampling, group sizes
+    are ∝ n^alpha, flattening head languages/domains while keeping tail
+    groups intact. Deterministic across runs, partitionings and cluster
+    sizes; :func:`temperature_sample_sql` generates the DuckDB twin from
+    the same rule.
+
+    Scale shape: one combiner-first counting pass (groups-sized shuffle)
+    to size every group; the per-group caps broadcast as a dict; then the
+    same mergeable partial-top-k selection as :func:`stratified_sample`
+    with a per-group k — the key shuffle moves O(Σ k_l × batches) rows,
+    never the corpus."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.select([key]).group_by(key).aggregate([([], "count_all")])
+        return pa.table({key: g[key],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    sizes = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas()
+    n = sizes["n"].to_numpy().astype(np.float64)
+    k = np.minimum(sizes["n"].to_numpy(),
+                   np.floor(scale * np.power(n, alpha) + 0.5)
+                   .astype(np.int64))
+    caps_ref = ray.put(dict(zip(sizes[key], (int(x) for x in k))))
+
+    def take_caps(df: pd.DataFrame) -> pd.DataFrame:
+        caps = ray.get(caps_ref)
+        df = (df.sort_values([key, _H, id_col], kind="mergesort")
+                .reset_index(drop=True))
+        rank = df.groupby(key, sort=False).cumcount()
+        return df[rank < df[key].map(caps).to_numpy()]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{_H: pd.Series(dtype="object")})
+        df = df.assign(**{_H: _rank_hash(df, id_col)})
+        return take_caps(df)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.drop(columns=[_H])
+        return take_caps(df).drop(columns=[_H])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return group_partitioned(partials, [key], final,
+                             num_partitions=num_partitions)
+
+
+def temperature_sample_sql(table: str, key: str, id_col: str,
+                           alpha: float, scale: float,
+                           columns: list[str]) -> str:
+    """DuckDB twin of :func:`temperature_sample`, generated from the same
+    rule (identical IEEE pow/floor, half-up cap) so the two can't
+    drift."""
+    cols = ", ".join(columns)
+    return (f"SELECT {cols} FROM ("
+            f"SELECT {cols}, row_number() OVER ("
+            f"PARTITION BY {key} "
+            f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}) AS rn, "
+            f"count(*) OVER (PARTITION BY {key}) AS n "
+            f"FROM {table}) "
+            f"WHERE rn <= least(n, CAST(floor({scale!r} * pow(n, {alpha!r})"
+            f" + 0.5) AS BIGINT))")

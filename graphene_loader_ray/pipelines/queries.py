@@ -567,6 +567,18 @@ def stratified_documents(sf_dir: str):
         key="lang", id_col="doc_id", k=20)
 
 
+def rebalanced_documents(sf_dir: str):
+    """Temperature (alpha=0.5) corpus rebalancing: each language keeps
+    floor(3·sqrt(n)+0.5) deterministically-chosen documents, flattening
+    head languages while keeping the tail — the multilingual mixing rule.
+    SQL twin generated from the identical rule."""
+    from ..ops.sample import temperature_sample
+    return temperature_sample(
+        _read(sf_dir, "documents",
+              columns=["doc_id", "lang", "source", "n_chars"]),
+        key="lang", id_col="doc_id", alpha=0.5, scale=3.0)
+
+
 def doc_length_band(sf_dir: str):
     """Per-language length-outlier cut: keep documents whose n_chars is
     inside the per-lang [p5, p95] quantile_disc band. Two passes: a
@@ -999,6 +1011,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "sample_documents": sample_documents,
     "stratified_documents": stratified_documents,
+    "rebalanced_documents": rebalanced_documents,
     "doc_length_band": doc_length_band,
     "bloom_new_documents": bloom_new_documents,
     "span_dedup_docs": span_dedup_docs,
@@ -1472,4 +1485,10 @@ from ..ops.sample import stratified_sample_sql as _strat_sql  # noqa: E402
 
 ORACLE_SQL["stratified_documents"] = _strat_sql(
     "documents", "lang", "doc_id", 20,
+    ["doc_id", "lang", "source", "n_chars"])
+
+from ..ops.sample import temperature_sample_sql as _temp_sql  # noqa: E402
+
+ORACLE_SQL["rebalanced_documents"] = _temp_sql(
+    "documents", "lang", "doc_id", 0.5, 3.0,
     ["doc_id", "lang", "source", "n_chars"])

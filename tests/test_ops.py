@@ -1358,3 +1358,49 @@ def test_unigram_lm_scoring(ray_session):
     assert out.loc[2, "lm_cost_micro"] == m["oov_cost"]  # zz is OOV
     c, n = out.loc[1, "lm_cost_micro"], 3
     assert out.loc[1, "avg_nll"] == ((2 * c + 100 * n) // (200 * n)) / 1e4
+
+
+def test_temperature_sample_rule_and_invariance(ray_session):
+    """Temperature rebalancing: group l keeps min(n_l,
+    floor(scale*n_l^alpha + 0.5)) smallest-md5(id) rows — pinned vs a
+    pandas reference and invariant to input partitioning; head groups
+    flatten, tail groups pass through whole."""
+    import hashlib as _h
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sample import temperature_sample
+
+    sizes = {"en": 400, "fr": 100, "de": 25, "sw": 4}
+    rows = []
+    i = 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append({"doc_id": i, "lang": lang})
+            i += 1
+    t = pa.Table.from_pylist(rows)
+
+    outs = []
+    for blocks in (1, 9):
+        out = temperature_sample(
+            rd.from_arrow(t).repartition(blocks), key="lang",
+            id_col="doc_id", alpha=0.5, scale=2.0,
+            num_partitions=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    out = outs[0]
+
+    df = t.to_pandas()
+    df["_h"] = df["doc_id"].map(
+        lambda x: _h.md5(str(x).encode()).hexdigest())
+    expect = []
+    for lang, n in sizes.items():
+        k = min(n, int(np.floor(2.0 * n ** 0.5 + 0.5)))
+        sel = df[df["lang"] == lang].sort_values(["_h", "doc_id"]).head(k)
+        expect.append(sel.drop(columns=["_h"]))
+    expect = pd.concat(expect).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, expect, check_exact=True)
+
+    got = out.groupby("lang").size().to_dict()
+    assert got == {"en": 40, "fr": 20, "de": 10, "sw": 4}  # 2*sqrt, sw whole
