@@ -649,6 +649,16 @@ def top_terms(sf_dir: str):
                                   columns=["doc_id", "text"]), k=50)
 
 
+def chunked_documents(sf_dir: str):
+    """RAG-style windowing: every document → fixed 400-codepoint chunks
+    with 80 overlap, one row per chunk. Pure flat-map (no shuffle); the
+    DuckDB twin is generated from the same window rule."""
+    from ..ops.chunk import chunk_documents
+    return chunk_documents(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        size=400, overlap=80)
+
+
 def lm_perplexity(sf_dir: str):
     """CCNet-style unigram-LM document scoring: train the LM on the
     corpus in one combiner-first counting pass, broadcast it, score every
@@ -959,6 +969,29 @@ def curate_web_pages(sf_dir: str):
     return curate_pages(pages)
 
 
+def warc_pages(sf_dir: str):
+    """Distributed WARC read (the crawl wire format: per-record gzip
+    members, index pass + byte-range parse tasks) → per-record row.
+    Rows-only driver row; byte-exact parquet-equivalence, random access
+    and corruption quarantine are pinned in tests/test_warc.py."""
+    from ..sources.synth import synthesize
+    from ..sources.warc import read_warc
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = _PAGES_BY_SF.get(tag, 400)
+    fixture = synthesize(n_pages=n)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "status": t["status"],
+            "ok": t["ok"],
+            "n_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64())})
+
+    return read_warc(os.path.join(fixture, "warc")) \
+        .map_batches(summarize, batch_format="pyarrow")
+
+
 def multimodal_audio(sf_dir: str):
     """Real RIFF/WAVE container decode over synthetic audio payloads
     (channels / rate / bits / frame count / duration); corrupt payloads
@@ -1021,6 +1054,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "top_terms": top_terms,
     "lm_perplexity": lm_perplexity,
+    "chunked_documents": chunked_documents,
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,
@@ -1042,6 +1076,7 @@ QUERIES = {
     "domain_stats_pages": domain_stats_pages,
     "url_dedup_pages": url_dedup_pages,
     "curate_web_pages": curate_web_pages,
+    "warc_pages": warc_pages,
     "multimodal_audio": multimodal_audio,
     "multimodal_video_frames": multimodal_video_frames,
 }
@@ -1492,3 +1527,7 @@ from ..ops.sample import temperature_sample_sql as _temp_sql  # noqa: E402
 ORACLE_SQL["rebalanced_documents"] = _temp_sql(
     "documents", "lang", "doc_id", 0.5, 3.0,
     ["doc_id", "lang", "source", "n_chars"])
+
+from ..ops.chunk import chunk_documents_sql as _chunk_sql  # noqa: E402
+
+ORACLE_SQL["chunked_documents"] = _chunk_sql("documents", 400, 80)

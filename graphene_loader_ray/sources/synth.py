@@ -634,7 +634,7 @@ def build_videos(n_videos: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 6
+_FIXTURE_VERSION = 7
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -672,9 +672,17 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
     pages = build_pages(vocab, n_pages, seed=seed)
     n_files = max(1, min(n_page_files, n_pages // 50 or 1))
     step = (pages.num_rows + n_files - 1) // n_files
+    # the crawl's ACTUAL wire format alongside the parquet twins: one
+    # .warc.gz shard per pages file (per-record gzip members), so the
+    # WARC reader can be equivalence-tested against the parquet
+    from .warc import write_warc
+    os.makedirs(os.path.join(tmp, "warc"), exist_ok=True)
     for f in range(n_files):
-        pq.write_table(pages.slice(f * step, step),
+        shard = pages.slice(f * step, step)
+        pq.write_table(shard,
                        os.path.join(tmp, "pages", f"part-{f:05d}.parquet"))
+        write_warc(shard.select(["url", "warc_ts", "html"]),
+                   os.path.join(tmp, "warc", f"part-{f:05d}.warc.gz"))
     with open(os.path.join(tmp, "_SYNTH_DONE"), "w") as fh:
         fh.write(hashlib.sha256(tag.encode()).hexdigest())
     if os.path.exists(done):          # another process won the race

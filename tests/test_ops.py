@@ -1404,3 +1404,37 @@ def test_temperature_sample_rule_and_invariance(ray_session):
 
     got = out.groupby("lang").size().to_dict()
     assert got == {"en": 40, "fr": 20, "de": 10, "sw": 4}  # 2*sqrt, sw whole
+
+
+def test_chunk_documents_rules(ray_session):
+    """Window rule pinned: reconstruction from chunks (overlap-aware)
+    equals the original text; short docs emit one whole chunk; empty/
+    NULL emit none; multibyte text slices by codepoint."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.chunk import chunk_documents
+
+    texts = ["x" * 901, "y" * 500, "z" * 501, "short", "", None,
+             "héllo wörld " * 40]                    # 480 codepoints
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_documents(rd.from_arrow(t).repartition(3),
+                          size=500, overlap=100).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    got_counts = out.groupby("doc_id")["n_chunks"].first().to_dict()
+    assert got_counts == {0: 3, 1: 1, 2: 2, 3: 1, 6: 1}  # 4,5 emit none
+    assert (out.groupby("doc_id").size() ==
+            out.groupby("doc_id")["n_chunks"].first()).all()
+
+    # overlap-aware reconstruction: chunk_i[overlap:] appended to chunk_0
+    for did, text in enumerate(texts):
+        if not text:
+            continue
+        chunks = out[out["doc_id"] == did]["chunk"].tolist()
+        rebuilt = chunks[0] + "".join(c[100:] for c in chunks[1:])
+        assert rebuilt == text, did
+        assert all(len(c) <= 500 for c in chunks)
+        # consecutive chunks agree on the 100-codepoint overlap
+        for a, b in zip(chunks, chunks[1:]):
+            assert a[400:] == b[:len(a[400:])]
