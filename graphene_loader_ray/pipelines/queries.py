@@ -649,6 +649,18 @@ def top_terms(sf_dir: str):
                                   columns=["doc_id", "text"]), k=50)
 
 
+def packed_documents(sf_dir: str):
+    """Sequence packing (training-batch prep): assign every document to
+    a 4000-char-budget pack (heaviest + longest lightest run per pack,
+    deterministic two-pointer per hash partition). Rows-only: greedy
+    packing is not SQL-expressible; rules pinned in
+    test_pack_sequences_rules."""
+    from ..ops.pack import pack_sequences
+    return pack_sequences(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        budget=4000, weight_col="n_chars")
+
+
 def chunked_documents(sf_dir: str):
     """RAG-style windowing: every document → fixed 400-codepoint chunks
     with 80 overlap, one row per chunk. Pure flat-map (no shuffle); the
@@ -1055,6 +1067,7 @@ QUERIES = {
     "top_terms": top_terms,
     "lm_perplexity": lm_perplexity,
     "chunked_documents": chunked_documents,
+    "packed_documents": packed_documents,
     "text_fingerprint": text_fingerprint,
     "dedup_minhash": dedup_minhash,
     "dedup_minhash_groups": dedup_minhash_groups,

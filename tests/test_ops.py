@@ -1438,3 +1438,54 @@ def test_chunk_documents_rules(ray_session):
         # consecutive chunks agree on the 100-codepoint overlap
         for a, b in zip(chunks, chunks[1:]):
             assert a[400:] == b[:len(a[400:])]
+
+
+def test_pack_sequences_rules(ray_session):
+    """Two-pointer packing pinned: every doc assigned exactly once, pack fill ≤
+    budget except oversize singletons, pack_id is the pack's min doc id,
+    invariant to input partitioning, and fill is tight on mixed sizes."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.pack import pack_sequences
+
+    rng = np.random.RandomState(11)
+    w = np.concatenate([rng.randint(50, 900, 300),
+                        rng.randint(1500, 2500, 3)])     # 3 oversize
+    t = pa.table({"doc_id": pa.array(range(len(w)), pa.int64()),
+                  "n_chars": pa.array(w, pa.int64())})
+
+    outs = []
+    for blocks in (1, 6):
+        out = pack_sequences(rd.from_arrow(t).repartition(blocks),
+                             budget=1000, weight_col="n_chars",
+                             num_partitions=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    out = outs[0]
+
+    assert len(out) == len(w) and out["doc_id"].is_unique
+    packs = out.groupby("pack_id")
+    assert (packs["n_chars"].sum() == packs["pack_fill"].first()).all()
+    assert (packs.size() == packs["pack_n_docs"].first()).all()
+    assert (packs.apply(lambda g: g["doc_id"].min() ==
+                        g["pack_id"].iloc[0])).all()
+    over = out[out["oversize"]]
+    assert len(over) == 3 and (over["pack_n_docs"] == 1).all()
+    ok = out[~out["oversize"]].groupby("pack_id")["pack_fill"].first()
+    assert (ok <= 1000).all()
+    assert ok.mean() >= 880          # big-plus-smalls packs tightly
+
+    # exact rule pinned on one partition: heaviest doc + the longest run
+    # of lightest docs that fits
+    from graphene_loader_ray.ops.pack import _pack_partition
+    small = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6],
+                          "n_chars": [900, 700, 400, 90, 60, 50]})
+    got = _pack_partition(small, "n_chars", "doc_id", budget=1000) \
+        .sort_values("doc_id")
+    # pack 1: 900, rem=100 → lightest run {50} (50+60 > 100);
+    # pack 2: 700, rem=300 → {60, 90}; pack 3: 400 alone
+    assert got.set_index("doc_id")["pack_id"].to_dict() == \
+        {1: 1, 6: 1, 2: 2, 4: 2, 5: 2, 3: 3}
+    assert got.set_index("doc_id")["pack_fill"].to_dict() == \
+        {1: 950, 6: 950, 2: 850, 4: 850, 5: 850, 3: 400}
