@@ -50,6 +50,12 @@ def _page_paths(fixture_dir: str) -> list[str]:
                   if f.endswith(".parquet"))
 
 
+def _warc_paths(fixture_dir: str) -> list[str]:
+    d = os.path.join(fixture_dir, "warc")
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".warc.gz"))
+
+
 def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
     """Build + canonicalize the KB; publish artifacts under <outdir>/kb."""
     man = StageManifest(outdir, "kb")
@@ -117,7 +123,8 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
                     batch_size: int = 8192,
                     concurrency=(1, 8),
                     max_partitions: int | None = None,
-                    repeat: int = 1) -> dict:
+                    repeat: int = 1,
+                    pages_format: str = "parquet") -> dict:
     """Per-partition extract → link → partial dedup; commit each partition.
 
     ``max_partitions`` stops after that many partitions have been processed
@@ -126,9 +133,15 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
 
     ``repeat`` re-reads the input file list that many times (benchmark
     input amplification: multiplies per-row work without synthesizing a
-    bigger corpus; duplicate rows fold into the triple-dedup supports)."""
+    bigger corpus; duplicate rows fold into the triple-dedup supports).
+
+    ``pages_format="warc"`` ingests the crawl wire format directly
+    (``<fixture>/warc/*.warc.gz`` via ``sources/warc.py``) instead of the
+    parquet twins — identical graph output (pinned by
+    ``test_kg_from_warc_equals_parquet``)."""
     man = StageManifest(outdir, "triples")
-    files = _page_paths(fixture_dir) * repeat
+    paths_of = _warc_paths if pages_format == "warc" else _page_paths
+    files = paths_of(fixture_dir) * repeat
     groups = [files[i::n_partitions] for i in range(n_partitions)]
     groups = [g for g in groups if g]
     gaz_ref, canon_ref = load_kb_artifacts(kb_dir)
@@ -146,7 +159,20 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
         # prune at the read: the fused extract+link stage needs ONLY the
         # raw html bytes (the generator's pre-extracted `text` column is
         # test-only; url/ts/lang don't flow into the aggregates)
-        pages = rd.read_parquet(group, columns=["html"])
+        if pages_format == "warc":
+            from ..sources.warc import index_warc, read_warc
+            import pyarrow.compute as _pc
+            pages = read_warc(group).map_batches(
+                lambda t: t.filter(_pc.equal(t["ok"], True))
+                           .select(["html"]),
+                batch_format="pyarrow")
+            # record count from the member index alone (decompress-and-
+            # discard walk, no parse) — pages.count() would re-run the
+            # whole read
+            n_pages = sum(len(index_warc(p)) for p in group)
+        else:
+            pages = rd.read_parquet(group, columns=["html"])
+            n_pages = None
         # ONE streaming execution per partition: FUSED extract+link (a
         # single actor stage over raw pages — halves task dispatches and
         # never puts extracted text in the object store), materialized as
@@ -172,7 +198,8 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
             for kind, n in zip(b["kind"].to_pylist(), b["n"].to_pylist()):
                 counts[kind] = counts.get(kind, 0) + n
         man.commit(pid, fp, counters={
-            "pages": pages.count(),      # parquet metadata, no read
+            # parquet: file metadata, no read; warc: the member index
+            "pages": n_pages if n_pages is not None else pages.count(),
             "unlinked_mentions": int(counts.get("miss", 0)),
             "quarantined_pages": int(counts.get("quarantined", 0))})
         ran += 1
@@ -251,12 +278,14 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
 
 def run_kg_pipeline(fixture_dir: str, outdir: str, *,
                     n_page_partitions: int = 4, resume: bool = True,
-                    batch_size: int = 2048, concurrency=(1, 8)) -> dict:
+                    batch_size: int = 2048, concurrency=(1, 8),
+                    pages_format: str = "parquet") -> dict:
     """End-to-end: kb → triples (per-partition) → graph. Returns summary."""
     kb_res = run_kb_stage(fixture_dir, outdir, resume=resume)
     pages_res = run_pages_stage(fixture_dir, outdir, kb_res["dir"],
                                 n_partitions=n_page_partitions, resume=resume,
-                                batch_size=batch_size, concurrency=concurrency)
+                                batch_size=batch_size, concurrency=concurrency,
+                                pages_format=pages_format)
     graph_res = run_graph_stage(outdir, kb_res["dir"], resume=resume)
 
     counters = dict(kb_res.get("counters", {}))

@@ -93,3 +93,27 @@ def test_write_warc_deterministic(tmp_path):
     write_warc(t, str(p2))
     assert p1.read_bytes() == p2.read_bytes()
     assert index_warc(str(p1)) == [(0, os.path.getsize(p1))]
+
+
+def test_kg_from_warc_equals_parquet(fixture_dir, tmp_path):
+    """The flagship KG pipeline ingesting the WARC wire format produces
+    byte-identical graph outputs (triples, nodes, counters) to the
+    parquet path over the same corpus."""
+    import pandas as pd
+
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+
+    outs = {}
+    for fmt in ("parquet", "warc"):
+        res = run_kg_pipeline(fixture_dir, str(tmp_path / fmt),
+                              n_page_partitions=2, pages_format=fmt)
+        gdir = res["graph_dir"]
+        outs[fmt] = {
+            "counters": res["counters"],
+            "edges": pq.read_table(os.path.join(gdir, "edges")).to_pandas(),
+            "nodes": pq.read_table(os.path.join(gdir, "nodes")).to_pandas(),
+        }
+    assert outs["parquet"]["counters"] == outs["warc"]["counters"]
+    for k in ("edges", "nodes"):
+        pd.testing.assert_frame_equal(outs["parquet"][k], outs["warc"][k],
+                                      check_exact=True)
