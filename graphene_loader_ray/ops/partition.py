@@ -68,5 +68,12 @@ def group_partitioned(ds: Dataset, keys: list[str],
     # downstream sort/aggregate block builders. An explicit batch_size
     # coalesces blocks (including empties) into batches, so the conversion
     # actually runs and every output block is arrow.
+    #
+    # The batch_size is a BUNDLING MINIMUM for the whole fused operator
+    # chain: 65536 here made Ray bundle every sort output block (and any
+    # downstream map fused with this one) into ONE task below ~65k rows,
+    # serializing all post-shuffle stages (measured: the curate pipeline's
+    # ScoreFilter ran 1 task at sf0.1). 4096 still coalesces empty/tiny
+    # blocks but leaves real blocks one-task-each.
     return out.map_batches(lambda t: t, batch_format="pyarrow",
-                           batch_size=65536)
+                           batch_size=4096)
