@@ -1489,3 +1489,38 @@ def test_pack_sequences_rules(ray_session):
         {1: 1, 6: 1, 2: 2, 4: 2, 5: 2, 3: 3}
     assert got.set_index("doc_id")["pack_fill"].to_dict() == \
         {1: 950, 6: 950, 2: 850, 4: 850, 5: 850, 3: 400}
+
+
+def test_equi_join_big_ints_and_nulls(ray_session):
+    """equi_join preserves int64 values above 2^53 exactly (the padded
+    union must never round-trip them through float64) and keeps genuine
+    nulls in integer payload columns, across all three join modes."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.join import equi_join
+
+    big = 9_007_199_254_740_993            # 2^53 + 1: float64 rounds it
+    left = pa.table({
+        "k": pa.array([big, big + 2, 5, 7], pa.int64()),
+        "lv": pa.array([big + 10, None, 50, 70], pa.int64())})
+    right = pa.table({
+        "k": pa.array([big, 5, 999], pa.int64()),
+        "rv": pa.array([big + 20, None, 1], pa.int64())})
+    l = rd.from_arrow(left).repartition(3)
+    r = rd.from_arrow(right).repartition(2)
+
+    inner = equi_join(l, r, on=["k"], num_partitions=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(inner["k"]) == [5, big]
+    assert inner.loc[1, "lv"] == big + 10 and inner.loc[1, "rv"] == big + 20
+    assert pd.isna(inner.loc[0, "rv"]) and inner.loc[0, "lv"] == 50
+
+    semi = equi_join(l, r, on=["k"], how="left_semi",
+                     num_partitions=4).to_pandas()
+    assert sorted(semi["k"]) == [5, big]
+
+    anti = equi_join(l, r, on=["k"], how="left_anti",
+                     num_partitions=4).to_pandas()
+    assert sorted(anti["k"]) == [7, big + 2]
+    # the null payload of the anti-surviving big row is intact
+    assert pd.isna(anti.set_index("k").loc[big + 2, "lv"])
