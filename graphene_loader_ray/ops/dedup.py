@@ -860,7 +860,7 @@ class _ExactCosineScorer:
 def embedding_neardup_exact(embs: Dataset, threshold: float = 0.4,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            batch_size: int = 4096,
+                            batch_size: int = 1024,
                             concurrency=(1, 8)) -> Dataset:
     """EXACT all-pairs cosine near-dup — the no-recall-loss verification
     baseline of the embedding dedup family (``embedding_neardup_pairs``
