@@ -10,9 +10,9 @@ doc in the batch), never a Python loop over rows.
 Window rule (mirrored exactly by the DuckDB twin, which generates
 starts with ``generate_series`` and cuts with ``substring``): chunk i
 starts at ``i·(size−overlap)`` (codepoints, 0-based) and takes
-``size`` codepoints; the last chunk starts at the largest start
-< len(text) (so a final fragment shorter than ``overlap+1`` is still
-emitted and text is never dropped); NULL/empty documents emit nothing.
+``size`` codepoints; a document of length ≤ size (even ≤ overlap) is
+one whole chunk, and text is never dropped; NULL/empty documents emit
+nothing.
 """
 
 from __future__ import annotations
@@ -24,45 +24,55 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 
+def chunk_table(t: pa.Table, size: int, overlap: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """The pure per-batch kernel of :func:`chunk_documents` (exposed for
+    Ray-free property tests): → (id, chunk_idx, n_chunks, chunk) rows."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    step = size - overlap
+    lens = pc.fill_null(pc.utf8_length(t[text_col]), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = 1 + np.maximum(lens - overlap - 1, 0) // step
+    n_chunks[lens == 0] = 0
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_id, out_idx, out_n, out_chunk = [], [], [], []
+    max_c = int(n_chunks.max()) if len(n_chunks) else 0
+    text = t[text_col]
+    for i in range(max_c):
+        live = n_chunks > i                     # docs long enough
+        sl = pc.utf8_slice_codeunits(text, i * step, i * step + size)
+        keep = np.flatnonzero(live)
+        out_id.append(ids[keep])
+        out_idx.append(np.full(len(keep), i, np.int64))
+        out_n.append(n_chunks[keep])
+        out_chunk.append(sl.take(pa.array(keep, pa.int64())))
+    if not out_id:
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_chunks": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string())})
+    chunks = pa.concat_arrays([c.combine_chunks()
+                               if isinstance(c, pa.ChunkedArray) else c
+                               for c in out_chunk])
+    return pa.table({
+        id_col: pa.array(np.concatenate(out_id), pa.int64()),
+        "chunk_idx": pa.array(np.concatenate(out_idx), pa.int64()),
+        "n_chunks": pa.array(np.concatenate(out_n), pa.int64()),
+        "chunk": chunks})
+
+
 def chunk_documents(docs: Dataset, size: int = 500, overlap: int = 100,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> Dataset:
     """→ Dataset(doc_id, chunk_idx [0-based], n_chunks, chunk)."""
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
-    step = size - overlap
 
     def explode(t: pa.Table) -> pa.Table:
-        lens = pc.fill_null(pc.utf8_length(t[text_col]), 0) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chunks = 1 + np.maximum(lens - overlap - 1, 0) // step
-        n_chunks[lens == 0] = 0
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_id, out_idx, out_n, out_chunk = [], [], [], []
-        max_c = int(n_chunks.max()) if len(n_chunks) else 0
-        text = t[text_col]
-        for i in range(max_c):
-            live = n_chunks > i                     # docs long enough
-            sl = pc.utf8_slice_codeunits(text, i * step, i * step + size)
-            keep = np.flatnonzero(live)
-            out_id.append(ids[keep])
-            out_idx.append(np.full(len(keep), i, np.int64))
-            out_n.append(n_chunks[keep])
-            out_chunk.append(sl.take(pa.array(keep, pa.int64())))
-        if not out_id:
-            return pa.table({
-                id_col: pa.array([], pa.int64()),
-                "chunk_idx": pa.array([], pa.int64()),
-                "n_chunks": pa.array([], pa.int64()),
-                "chunk": pa.array([], pa.string())})
-        chunks = pa.concat_arrays([c.combine_chunks()
-                                   if isinstance(c, pa.ChunkedArray) else c
-                                   for c in out_chunk])
-        return pa.table({
-            id_col: pa.array(np.concatenate(out_id), pa.int64()),
-            "chunk_idx": pa.array(np.concatenate(out_idx), pa.int64()),
-            "n_chunks": pa.array(np.concatenate(out_n), pa.int64()),
-            "chunk": chunks})
+        return chunk_table(t, size, overlap, text_col, id_col)
 
     return docs.map_batches(explode, batch_format="pyarrow")
 

@@ -129,3 +129,68 @@ def test_salted_group_apply_matches_direct(ray_session):
         .reset_index().sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(out[["k", "s", "mx"]], want,
                                   check_dtype=False)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(max_codepoint=0x2FFF),
+                        max_size=60),
+                min_size=1, max_size=8),
+       st.integers(min_value=2, max_value=40),
+       st.integers(min_value=0, max_value=39))
+def test_chunk_window_rule(texts, size, overlap):
+    """For any unicode docs and any (size, overlap): chunks reconstruct
+    the text exactly, every chunk is ≤ size codepoints, counts obey the
+    pinned formula, and empty docs emit nothing."""
+    import pyarrow as pa
+
+    from graphene_loader_ray.ops.chunk import chunk_table
+
+    if overlap >= size:
+        overlap = size - 1
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = chunk_table(t, size, overlap).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"])
+    step = size - overlap
+    for did, text in enumerate(texts):
+        chunks = out[out["doc_id"] == did]["chunk"].tolist()
+        if not text:
+            assert chunks == []
+            continue
+        expect_n = 1 + max(len(text) - overlap - 1, 0) // step
+        assert len(chunks) == expect_n
+        assert all(len(c) <= size for c in chunks)
+        assert chunks == [text[i * step:i * step + size]
+                          for i in range(expect_n)]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=500),
+                min_size=1, max_size=60),
+       st.integers(min_value=10, max_value=400), st.randoms())
+def test_pack_partition_invariants(weights, budget, rnd):
+    """For any weights and budget: every doc packed exactly once, every
+    pack ≤ budget unless an oversize singleton, pack_id = min member id,
+    pack stats self-consistent, and input row order never matters."""
+    from graphene_loader_ray.ops.pack import _pack_partition
+
+    df = pd.DataFrame({"doc_id": range(len(weights)), "w": weights})
+    shuffled = df.sample(frac=1, random_state=rnd.randint(0, 2**31))
+    a = _pack_partition(df, "w", "doc_id", budget) \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = _pack_partition(shuffled, "w", "doc_id", budget) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    assert a["doc_id"].is_unique and len(a) == len(weights)
+    g = a.groupby("pack_id")
+    assert (g["w"].sum() == g["pack_fill"].first()).all()
+    assert (g.size() == g["pack_n_docs"].first()).all()
+    for pid, grp in g:
+        assert pid == grp["doc_id"].min()
+        if not grp["oversize"].any():
+            assert grp["w"].sum() <= budget
+        else:
+            assert len(grp) == 1
