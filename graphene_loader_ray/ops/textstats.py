@@ -13,6 +13,7 @@ import hashlib
 import math
 import re
 
+import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
@@ -92,7 +93,8 @@ class QualityScorer:
     language: CJK chars -> zh; else argmax stopword hits (ties -> 'en'
     first, then alphabetical); no hits -> 'und'.
     fingerprint: winnowing (Schleimer et al., SIGMOD'03) over 8-char
-    rolling blake2b hashes, window 4; emitted as the min-selected hash hex.
+    rolling polynomial hashes (splitmix-finalized, vectorized), window 4;
+    emitted as the min-selected hash hex.
     """
 
     K_GRAM = 8
@@ -109,22 +111,40 @@ class QualityScorer:
         # combined; quality-only consumers switch it off
         self.with_fingerprint = with_fingerprint
 
+    _FP_B = np.uint64(0x100000001B3)          # odd polynomial multiplier
+
     @staticmethod
-    def _gram_hash(s: str) -> int:
-        return int.from_bytes(
-            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    def _mix64(x: np.ndarray) -> np.ndarray:
+        """splitmix64-style finalizer (same recipe as ops/sketch.py): the
+        bare polynomial leaves high bits weakly mixed; winnowing's min
+        selection needs uniform hashes."""
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xC4CEB9FE1A85EC53)
+        return x ^ (x >> np.uint64(33))
 
     def _fingerprint(self, text: str) -> tuple[str, int]:
+        """Winnowing, fully vectorized: k fused multiply-adds build every
+        k-gram polynomial hash at once (the per-character blake2b this
+        replaces was the dominant per-doc cost), a sliding-window view
+        takes the window minima, np.unique the selected set."""
         k, w = self.K_GRAM, self.WINDOW
-        if len(text) < k:
-            return hashlib.blake2b(text.encode("utf-8"),
-                                   digest_size=8).hexdigest(), 1
-        hashes = [self._gram_hash(text[i:i + k])
-                  for i in range(len(text) - k + 1)]
-        selected: set[int] = set()
-        for i in range(max(1, len(hashes) - w + 1)):
-            selected.add(min(hashes[i:i + w]))
-        return f"{min(selected):016x}", len(selected)
+        c = np.frombuffer(text.encode("utf-32-le"),
+                          dtype=np.uint32).astype(np.uint64)
+        n = len(c)
+        m = max(n - k + 1, 1)                 # short text: one whole-gram
+        h = np.zeros(m, np.uint64)
+        with np.errstate(over="ignore"):
+            for j in range(min(k, n)):
+                h = h * self._FP_B + c[j:j + m]
+        h = self._mix64(h)
+        if len(h) <= w:
+            mins = h.min(keepdims=True)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(h, w) \
+                .min(axis=1)
+        selected = np.unique(mins)
+        return f"{int(selected.min()):016x}", len(selected)
 
     def _lang(self, words_lower: list[str], text: str) -> str:
         if _CJK.search(text):
