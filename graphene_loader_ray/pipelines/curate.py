@@ -21,6 +21,7 @@ need") over the same pages table the KG pipeline reads.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import pandas as pd
 import pyarrow as pa
@@ -138,3 +139,30 @@ def curate_pages(pages: Dataset, min_quality: float = 0.4,
     # identical texts co-locate)
     return group_partitioned(out, ["text"], exact_dedup_part,
                              num_partitions=num_partitions)
+
+
+def curate_to_parquet(pages: Dataset, input_paths: list[str], outdir: str,
+                      resume: bool = True, **kwargs) -> dict:
+    """Resumable sink for :func:`curate_pages`. The pipeline itself is
+    corpus-global (URL/span/exact dedup all cross input shards), so the
+    resume unit is the whole run, not an input shard: the curated output
+    is written to a temp dir and atomically published under
+    ``<outdir>/curated/part-all`` with the input fingerprint in the
+    manifest — a rerun over unchanged inputs is a no-op, a rerun after
+    any input changed recomputes (stale global dedups can't survive).
+    Returns {"dir", "skipped"}."""
+    from .checkpoint import StageManifest, fingerprint_paths
+
+    man = StageManifest(outdir, "curated")
+    fp = fingerprint_paths(input_paths)
+    if resume and man.is_done("all", fp):
+        return {"dir": man.partition_dir("all"), "skipped": True}
+    tmp = man.start("all")
+    curate_pages(pages, **kwargs).write_parquet(tmp)
+    # row count from the written files' parquet metadata — re-counting
+    # the lazy Dataset would re-execute the whole pipeline
+    import pyarrow.parquet as pq
+    n = sum(pq.read_metadata(os.path.join(tmp, f)).num_rows
+            for f in os.listdir(tmp) if f.endswith(".parquet"))
+    man.commit("all", fp, counters={"curated_docs": n})
+    return {"dir": man.partition_dir("all"), "skipped": False}

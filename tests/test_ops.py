@@ -3,11 +3,13 @@ relational/stream ops (vs DuckDB oracles), multimodal plumbing."""
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 import pytest
 
 
@@ -1524,3 +1526,36 @@ def test_equi_join_big_ints_and_nulls(ray_session):
     assert sorted(anti["k"]) == [7, big + 2]
     # the null payload of the anti-surviving big row is intact
     assert pd.isna(anti.set_index("k").loc[big + 2, "lv"])
+
+
+def test_curate_to_parquet_resume(ray_session, tmp_path):
+    """Atomic curated sink: first run writes + counts, identical rerun
+    is a no-op skip, input change invalidates (global dedups must not
+    survive stale inputs)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.pipelines.curate import curate_to_parquet
+    from graphene_loader_ray.sources.synth import synthesize
+
+    fixture = synthesize(n_pages=400)
+    pdir = os.path.join(fixture, "pages")
+    paths = sorted(os.path.join(pdir, f) for f in os.listdir(pdir))
+
+    def pages():
+        return rd.read_parquet(paths, columns=["url", "warc_ts",
+                                               "lang", "html"])
+
+    out = str(tmp_path / "cur")
+    r1 = curate_to_parquet(pages(), paths, out, num_partitions=4)
+    assert not r1["skipped"]
+    n1 = pq.read_table(r1["dir"]).num_rows
+    assert n1 > 0
+
+    r2 = curate_to_parquet(pages(), paths, out, num_partitions=4)
+    assert r2["skipped"] and r2["dir"] == r1["dir"]
+
+    # touching an input invalidates the fingerprint → recompute
+    os.utime(paths[0])
+    r3 = curate_to_parquet(pages(), paths, out, num_partitions=4)
+    assert not r3["skipped"]
+    assert pq.read_table(r3["dir"]).num_rows == n1
