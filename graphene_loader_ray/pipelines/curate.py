@@ -37,13 +37,16 @@ from ..ops.webstats import canonicalize_urls, extract_host
 from ..stages.extract import extract
 
 
-def _doc_id(urls: list[str]) -> pa.Array:
-    """Deterministic int63 per canonical url (md5 prefix): stable across
-    runs/partitionings; also the span-dedup 'first occurrence' total
-    order (document-identity order, arbitrary but reproducible)."""
-    ids = [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") >> 1
-           for u in urls]
-    return pa.array(ids, pa.int64())
+def _doc_id(urls) -> pa.Array:
+    """Deterministic int63 per canonical url: stable across runs and
+    partitionings; also the span-dedup 'first occurrence' total order
+    (document-identity order, arbitrary but reproducible). Vectorized
+    ``hash_pandas_object`` with its fixed default key — the same stable
+    row hash the partitioner uses — not per-row md5 (this id never needs
+    a SQL twin, so the md5 convention doesn't apply)."""
+    h = pd.util.hash_pandas_object(
+        pd.Series(urls, dtype=object), index=False).to_numpy()
+    return pa.array((h >> 1).astype("int64"), pa.int64())
 
 
 def curate_pages(pages: Dataset, min_quality: float = 0.4,
@@ -61,7 +64,7 @@ def curate_pages(pages: Dataset, min_quality: float = 0.4,
         keep = pc.is_valid(canon)
         t, canon = t.filter(keep), canon.filter(keep)
         return pa.table({
-            "doc_id": _doc_id(canon.to_pylist()),
+            "doc_id": _doc_id(canon.to_pandas()),
             "canonical_url": canon,
             "url": t["url"],
             "host": extract_host(canon),
