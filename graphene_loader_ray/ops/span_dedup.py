@@ -104,17 +104,24 @@ def span_dedup(docs: Dataset, text_col: str = "text",
         batch_format="pyarrow").materialize()
     if dup.count() <= broadcast_max:
         dup_tbl = dup.to_pandas()
-        handle = ray.put(dict(zip(dup_tbl["h"], dup_tbl["wk"])))
+        # sorted fixed-width hash array + aligned winner keys: the mark
+        # becomes one vectorized searchsorted per batch (the decontam
+        # recipe) instead of a per-row dict probe; int64 winner keys stay
+        # integers end-to-end (a float64 round-trip would ROUND keys
+        # above 2^53 — doc ids from hashes — and match nothing)
+        order = np.argsort(dup_tbl["h"].to_numpy())
+        handle = ray.put((dup_tbl["h"].to_numpy(dtype="U32")[order],
+                          dup_tbl["wk"].to_numpy(np.int64)[order]))
 
         def mark(t: pa.Table) -> pa.Table:
-            # dict.get into an int64 buffer — Series.map would upcast the
-            # misses to float64 and ROUND keys above 2^53 (doc ids from
-            # hashes), making the winner equality silently match nothing
-            m = ray.get(handle)
-            hs = t["h"].to_pylist()
-            wk_i = np.fromiter((m.get(h, -1) for h in hs),
-                               dtype=np.int64, count=len(hs))
-            keep = (wk_i == -1) | (wk_i == t["k"].to_numpy())
+            hs_s, wk_s = ray.get(handle)
+            hs = t["h"].to_numpy(zero_copy_only=False).astype("U32")
+            pos = np.searchsorted(hs_s, hs)
+            pos[pos >= len(hs_s)] = 0
+            hit = (hs_s[pos] == hs) if len(hs_s) else \
+                np.zeros(len(hs), bool)
+            keep = ~hit | (wk_s[pos] == t["k"].to_numpy()) if len(hs_s) \
+                else np.ones(len(hs), bool)
             return t.append_column("keep", pa.array(keep, pa.bool_()))
 
         marked = occ.map_batches(mark, batch_format="pyarrow")
