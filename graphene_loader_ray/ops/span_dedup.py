@@ -44,10 +44,19 @@ _IDX_BITS = 20          # positions per document < 2^20 (docs < ~10M words)
 
 
 class _Explode:
-    """doc -> one row per span: (doc_id, idx [1-based], chunk, h, k)."""
+    """doc -> one row per span: (doc_id, idx [1-based], chunk, h, k).
 
-    def __init__(self, text_col: str, id_col: str):
+    ``hash_fn="md5"`` (default) hashes spans with md5 hex so the DuckDB
+    twin is byte-comparable. ``hash_fn="fast"`` is the scale knob (the
+    same trade as ngram_jaccard's ``hashed=True``): the vectorized
+    stable 64-bit pandas row hash — ~8 B per span on the wire instead of
+    32+ and no per-span digest call; a 64-bit collision merges two
+    distinct spans (≈ n²/2⁶⁵ — negligible until ~10¹⁰ distinct spans,
+    where collisions drop the odd extra occurrence)."""
+
+    def __init__(self, text_col: str, id_col: str, hash_fn: str = "md5"):
         self.text_col, self.id_col = text_col, id_col
+        self.hash_fn = hash_fn
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, idxs, chunks = [], [], []
@@ -57,14 +66,22 @@ class _Explode:
             doc_ids.extend([did] * len(spans))
             idxs.extend(range(1, len(spans) + 1))
             chunks.extend(spans)
-        h = [hashlib.md5(c.encode()).hexdigest() for c in chunks]
+        if self.hash_fn == "fast":
+            # int63 (top bit dropped): uint64 values above 2^63 trip
+            # Ray's pandas→arrow int inference in the join fallback path
+            hv = pd.util.hash_pandas_object(
+                pd.Series(chunks, dtype=object), index=False).to_numpy()
+            h = pa.array((hv >> 1).astype(np.int64), pa.int64())
+        else:
+            h = pa.array([hashlib.md5(c.encode()).hexdigest()
+                          for c in chunks], pa.string())
         ids = np.asarray(doc_ids, dtype=np.int64)
         ix = np.asarray(idxs, dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "idx": pa.array(ix, pa.int64()),
             "chunk": pa.array(chunks, pa.string()),
-            "h": pa.array(h, pa.string()),
+            "h": h,
             "k": pa.array((ids << _IDX_BITS) + ix, pa.int64())})
 
 
@@ -85,15 +102,16 @@ def _winners(occ: Dataset) -> Dataset:
 
 def span_dedup(docs: Dataset, text_col: str = "text",
                id_col: str = "doc_id", broadcast_max: int = 2_000_000,
-               num_partitions: int = 16) -> Dataset:
+               num_partitions: int = 16, hash_fn: str = "md5") -> Dataset:
     """One row per document: ``doc_id``, ``text`` (spans deduplicated
     corpus-wide, first occurrence kept, null if nothing survived),
-    ``n_total`` and ``n_kept`` span counts."""
+    ``n_total`` and ``n_kept`` span counts. ``hash_fn`` — see
+    :class:`_Explode` (md5 = SQL-twin-comparable, fast = scale knob)."""
     import pyarrow.compute as pc
 
     import ray
 
-    occ = docs.map_batches(_Explode(text_col, id_col),
+    occ = docs.map_batches(_Explode(text_col, id_col, hash_fn),
                            batch_format="pyarrow")
     win = _winners(occ)
 
@@ -109,13 +127,16 @@ def span_dedup(docs: Dataset, text_col: str = "text",
         # recipe) instead of a per-row dict probe; int64 winner keys stay
         # integers end-to-end (a float64 round-trip would ROUND keys
         # above 2^53 — doc ids from hashes — and match nothing)
-        order = np.argsort(dup_tbl["h"].to_numpy())
-        handle = ray.put((dup_tbl["h"].to_numpy(dtype="U32")[order],
+        fast = hash_fn == "fast"
+        harr = dup_tbl["h"].to_numpy(dtype=np.int64 if fast else "U32")
+        order = np.argsort(harr)
+        handle = ray.put((harr[order],
                           dup_tbl["wk"].to_numpy(np.int64)[order]))
 
         def mark(t: pa.Table) -> pa.Table:
             hs_s, wk_s = ray.get(handle)
-            hs = t["h"].to_numpy(zero_copy_only=False).astype("U32")
+            hs = t["h"].to_numpy(zero_copy_only=False)
+            hs = hs.astype(np.int64 if fast else "U32")
             pos = np.searchsorted(hs_s, hs)
             pos[pos >= len(hs_s)] = 0
             hit = (hs_s[pos] == hs) if len(hs_s) else \
@@ -131,13 +152,18 @@ def span_dedup(docs: Dataset, text_col: str = "text",
         # anti-join marks never-duplicated spans keep=True, an inner
         # join compares duplicated occurrences against their winner.
         from .join import equi_join
-        nondup = equi_join(occ, dup.select_columns(["h"]), on=["h"],
+        # both joins consume the SAME (h, wk) dataset: two different
+        # select_columns projections of one materialized input can be
+        # wrongly merged by Ray 2.49's operator dedup when schema hashing
+        # fails (observed: the h-only Project fed the tag expecting wk);
+        # the anti join simply ignores the tiny wk column
+        nondup = equi_join(occ, dup, on=["h"],
                            how="left_anti",
                            num_partitions=num_partitions) \
             .map_batches(lambda t: t.append_column(
                 "keep", pa.array(np.ones(t.num_rows, dtype=bool))),
                 batch_format="pyarrow")
-        dupocc = equi_join(occ, dup.select_columns(["h", "wk"]),
+        dupocc = equi_join(occ, dup,
                            on=["h"], num_partitions=num_partitions) \
             .map_batches(lambda t: t.append_column(
                 "keep", pc.equal(t["wk"], t["k"])).drop_columns(["wk"]),

@@ -116,7 +116,8 @@ def curate_pages(pages: Dataset, min_quality: float = 0.4,
                                   num_partitions=num_partitions)
 
     deduped = span_dedup(docs.select_columns(["doc_id", "text"]),
-                         num_partitions=num_partitions)
+                         num_partitions=num_partitions,
+                         hash_fn="fast")      # scale knob: no SQL twin here
     deduped = deduped.map_batches(
         lambda t: t.filter(pc.is_valid(t["text"])), batch_format="pyarrow")
 

@@ -1559,3 +1559,35 @@ def test_curate_to_parquet_resume(ray_session, tmp_path):
     r3 = curate_to_parquet(pages(), paths, out, num_partitions=4)
     assert not r3["skipped"]
     assert pq.read_table(r3["dir"]).num_rows == n1
+
+
+def test_span_dedup_fast_hash_equals_md5(ray_session):
+    """The 64-bit fast span hash (scale knob) produces the same
+    reassembled output as the md5 path on both resolution modes."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.span_dedup import span_dedup
+
+    rng = np.random.RandomState(3)
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    boiler = " ".join(words[:12])
+    for d in range(60):
+        body = " ".join(rng.choice(words, size=30))
+        docs.append({"doc_id": d, "text": (boiler + " " + body)
+                     if d % 3 == 0 else body})
+    t = pa.Table.from_pylist(docs)
+
+    outs = {}
+    for fn in ("md5", "fast"):
+        outs[fn] = span_dedup(rd.from_arrow(t).repartition(4),
+                              num_partitions=4, hash_fn=fn,
+                              broadcast_max=2_000_000).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["md5"], outs["fast"],
+                                  check_exact=True)
+    # and through the join fallback too
+    j = span_dedup(rd.from_arrow(t).repartition(4), num_partitions=4,
+                   hash_fn="fast", broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(outs["md5"], j, check_exact=True)
