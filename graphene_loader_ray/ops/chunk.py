@@ -39,15 +39,22 @@ def chunk_table(t: pa.Table, size: int, overlap: int,
     ids = t[id_col].to_numpy(zero_copy_only=False)
     out_id, out_idx, out_n, out_chunk = [], [], [], []
     max_c = int(n_chunks.max()) if len(n_chunks) else 0
-    text = t[text_col]
+    # iterate chunk indices over a SHRINKING live set (sorted by chunk
+    # count): slicing the full column every iteration would cost
+    # O(rows × max_chunks) slice work when one long doc dominates a batch
+    order = np.argsort(n_chunks, kind="stable")
+    text_sorted = t[text_col].take(pa.array(order, pa.int64()))
+    if isinstance(text_sorted, pa.ChunkedArray):
+        text_sorted = text_sorted.combine_chunks()
+    ids_sorted, n_sorted = ids[order], n_chunks[order]
     for i in range(max_c):
-        live = n_chunks > i                     # docs long enough
-        sl = pc.utf8_slice_codeunits(text, i * step, i * step + size)
-        keep = np.flatnonzero(live)
-        out_id.append(ids[keep])
-        out_idx.append(np.full(len(keep), i, np.int64))
-        out_n.append(n_chunks[keep])
-        out_chunk.append(sl.take(pa.array(keep, pa.int64())))
+        start = int(np.searchsorted(n_sorted, i + 1))   # first live doc
+        live_text = text_sorted.slice(start)
+        sl = pc.utf8_slice_codeunits(live_text, i * step, i * step + size)
+        out_id.append(ids_sorted[start:])
+        out_idx.append(np.full(len(n_sorted) - start, i, np.int64))
+        out_n.append(n_sorted[start:])
+        out_chunk.append(sl)
     if not out_id:
         return pa.table({
             id_col: pa.array([], pa.int64()),

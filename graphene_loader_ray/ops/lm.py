@@ -48,11 +48,20 @@ def train_unigram_lm(docs: Dataset, text_col: str = "text",
         .groupby("term").aggregate(Sum("n", alias_name="n")) \
         .materialize()
 
-    total = int(counts.map_batches(
+    tdf = counts.map_batches(
         lambda t: pa.table(
             {"s": pa.array([pa.compute.sum(t["n"]).as_py() or 0],
                            pa.int64())}),
-        batch_format="pyarrow").to_pandas()["s"].sum())
+        batch_format="pyarrow").to_pandas()
+    # a token-free corpus yields an empty counts dataset whose (empty)
+    # blocks skip the partial-sum UDF entirely
+    total = int(tdf["s"].sum()) if "s" in tdf.columns and len(tdf) else 0
+    if total == 0:
+        # formula-consistent degenerate LM: denom = 0+0+1, p_oov = 1,
+        # cost = floor(-ln(1)*1e6+0.5) = 0
+        return {"terms": np.array([], dtype=str),
+                "cost": np.array([], np.int64),
+                "oov_cost": 0, "total": 0, "n_vocab": 0}
     head = counts.sort(["n", "term"], descending=[True, False]) \
         .limit(vocab_size).to_pandas()
 
@@ -91,11 +100,14 @@ def score_perplexity(docs: Dataset, model: dict, text_col: str = "text",
                 toks = self.word_re.findall((text or "").lower())
                 if not toks:
                     continue
-                arr = np.asarray(toks, dtype=str)
-                pos = np.searchsorted(self.terms, arr)
-                pos[pos >= len(self.terms)] = 0
-                hit = self.terms[pos] == arr
-                q = np.where(hit, self.cost[pos], self.oov)
+                if len(self.terms) == 0:      # degenerate LM: all OOV
+                    q = np.full(len(toks), self.oov, np.int64)
+                else:
+                    arr = np.asarray(toks, dtype=str)
+                    pos = np.searchsorted(self.terms, arr)
+                    pos[pos >= len(self.terms)] = 0
+                    hit = self.terms[pos] == arr
+                    q = np.where(hit, self.cost[pos], self.oov)
                 ids.append(did)
                 ns.append(len(toks))
                 costs.append(int(q.sum()))

@@ -22,6 +22,21 @@ from ray.data import Dataset
 _PART = "__hash_part"
 
 
+def stable_hash63(values) -> "np.ndarray":
+    """Vectorized stable 63-bit content hash (int64, top bit dropped):
+    ``pd.util.hash_pandas_object`` with its fixed default key, so ids are
+    identical across runs, partitionings and processes. The int63 range
+    matters twice: uint64 above 2^63 trips Ray's pandas→arrow int
+    inference, and span_dedup's winner-key encoding relies on these ids.
+    Shared by curate doc ids and span_dedup's fast span hash — the two
+    MUST stay bit-identical (span winners are curate doc-id ordered)."""
+    import numpy as np
+
+    h = pd.util.hash_pandas_object(
+        pd.Series(values, dtype=object), index=False).to_numpy()
+    return (h >> 1).astype(np.int64)
+
+
 def group_partitioned(ds: Dataset, keys: list[str],
                       fn: Callable,
                       num_partitions: int = 16,

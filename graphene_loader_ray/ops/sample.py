@@ -33,10 +33,23 @@ def _rank_hash(df: pd.DataFrame, id_col: str) -> pd.Series:
         lambda x: hashlib.md5(str(x).encode()).hexdigest())
 
 
+def _sort_grouped(df: pd.DataFrame, key: str, id_col: str) -> pd.DataFrame:
+    """Order rows by (key, hash, id) with NULL keys sortable: multi-key
+    object sorts lexsort raw values (None < str raises TypeError), so
+    the key sorts via a filled copy. A ""-collision only interleaves the
+    two groups — within-group (hash, id) order, which is all the
+    head/cumcount selection reads, is preserved."""
+    return df.assign(_kf=df[key].fillna("")) \
+        .sort_values(["_kf", _H, id_col], kind="mergesort") \
+        .drop(columns=["_kf"])
+
+
 def _topk_per_group(df: pd.DataFrame, key: str, id_col: str,
                     k: int) -> pd.DataFrame:
-    return (df.sort_values([key, _H, id_col], kind="mergesort")
-              .groupby(key, sort=False).head(k))
+    # dropna=False: NULL is a group like any other (the generated SQL
+    # twin's PARTITION BY keeps a NULL partition)
+    return _sort_grouped(df, key, id_col) \
+        .groupby(key, sort=False, dropna=False).head(k)
 
 
 def stratified_sample(ds: Dataset, key: str, id_col: str, k: int,
@@ -94,27 +107,38 @@ def temperature_sample(ds: Dataset, key: str, id_col: str,
     import pyarrow as pa
 
     import ray
-    from ray.data.aggregate import Sum
 
     def count_partial(t: pa.Table) -> pa.Table:
         g = t.select([key]).group_by(key).aggregate([([], "count_all")])
         return pa.table({key: g[key],
                          "n": g["count_all"].cast(pa.int64())})
 
-    sizes = ds.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby(key).aggregate(Sum("n", alias_name="n")).to_pandas()
+    # driver reduce of the groups×batches partials (bounded, tiny) — a
+    # Dataset groupby here would sort the key column, and Ray's sort
+    # boundary search crashes comparing None to str on nullable keys
+    parts = ds.map_batches(count_partial,
+                           batch_format="pyarrow").to_pandas()
+    sizes = parts.groupby(key, dropna=False, sort=False)["n"] \
+        .sum().reset_index()
     n = sizes["n"].to_numpy().astype(np.float64)
     k = np.minimum(sizes["n"].to_numpy(),
                    np.floor(scale * np.power(n, alpha) + 0.5)
                    .astype(np.int64))
-    caps_ref = ray.put(dict(zip(sizes[key], (int(x) for x in k))))
+    # normalize the null key to None (numeric pandas nulls arrive as NaN,
+    # which never equals itself in a dict lookup)
+    caps_ref = ray.put({(None if pd.isna(g) else g): int(x)
+                        for g, x in zip(sizes[key], k)})
 
     def take_caps(df: pd.DataFrame) -> pd.DataFrame:
         caps = ray.get(caps_ref)
-        df = (df.sort_values([key, _H, id_col], kind="mergesort")
-                .reset_index(drop=True))
-        rank = df.groupby(key, sort=False).cumcount()
-        return df[rank < df[key].map(caps).to_numpy()]
+        df = _sort_grouped(df, key, id_col).reset_index(drop=True)
+        # dropna=False: the SQL twin's PARTITION BY keeps a NULL-key
+        # partition, so the engine must cap (not drop) null-key rows;
+        # pyarrow's count pass groups nulls too, so caps has a None entry
+        rank = df.groupby(key, sort=False, dropna=False).cumcount()
+        kvals = df[key].map(
+            lambda v: caps.get(None if pd.isna(v) else v, 0)).to_numpy()
+        return df[rank < kvals]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:

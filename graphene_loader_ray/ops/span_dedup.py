@@ -67,11 +67,8 @@ class _Explode:
             idxs.extend(range(1, len(spans) + 1))
             chunks.extend(spans)
         if self.hash_fn == "fast":
-            # int63 (top bit dropped): uint64 values above 2^63 trip
-            # Ray's pandas→arrow int inference in the join fallback path
-            hv = pd.util.hash_pandas_object(
-                pd.Series(chunks, dtype=object), index=False).to_numpy()
-            h = pa.array((hv >> 1).astype(np.int64), pa.int64())
+            from .partition import stable_hash63
+            h = pa.array(stable_hash63(chunks), pa.int64())
         else:
             h = pa.array([hashlib.md5(c.encode()).hexdigest()
                           for c in chunks], pa.string())

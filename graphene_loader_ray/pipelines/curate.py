@@ -38,15 +38,13 @@ from ..stages.extract import extract
 
 
 def _doc_id(urls) -> pa.Array:
-    """Deterministic int63 per canonical url: stable across runs and
-    partitionings; also the span-dedup 'first occurrence' total order
-    (document-identity order, arbitrary but reproducible). Vectorized
-    ``hash_pandas_object`` with its fixed default key — the same stable
-    row hash the partitioner uses — not per-row md5 (this id never needs
-    a SQL twin, so the md5 convention doesn't apply)."""
-    h = pd.util.hash_pandas_object(
-        pd.Series(urls, dtype=object), index=False).to_numpy()
-    return pa.array((h >> 1).astype("int64"), pa.int64())
+    """Deterministic int63 per canonical url (ops/partition.py
+    stable_hash63): stable across runs and partitionings; also the
+    span-dedup 'first occurrence' total order (document-identity order,
+    arbitrary but reproducible). Not per-row md5 — this id never needs a
+    SQL twin, so the md5 convention doesn't apply."""
+    from ..ops.partition import stable_hash63
+    return pa.array(stable_hash63(urls), pa.int64())
 
 
 def curate_pages(pages: Dataset, min_quality: float = 0.4,

@@ -160,16 +160,20 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
         # raw html bytes (the generator's pre-extracted `text` column is
         # test-only; url/ts/lang don't flow into the aggregates)
         if pages_format == "warc":
+            from collections import Counter
+
             from ..sources.warc import index_warc, read_warc
-            import pyarrow.compute as _pc
+            # corrupt records keep flowing as html=null rows so the link
+            # stage quarantines them exactly like the parquet path
+            # (counters must not diverge between input formats)
             pages = read_warc(group).map_batches(
-                lambda t: t.filter(_pc.equal(t["ok"], True))
-                           .select(["html"]),
-                batch_format="pyarrow")
+                lambda t: t.select(["html"]), batch_format="pyarrow")
             # record count from the member index alone (decompress-and-
             # discard walk, no parse) — pages.count() would re-run the
-            # whole read
-            n_pages = sum(len(index_warc(p)) for p in group)
+            # whole read; index each UNIQUE path once (repeat duplicates
+            # paths for benchmark amplification)
+            n_pages = sum(len(index_warc(p)) * m
+                          for p, m in Counter(group).items())
         else:
             pages = rd.read_parquet(group, columns=["html"])
             n_pages = None

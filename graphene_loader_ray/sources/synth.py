@@ -634,7 +634,7 @@ def build_videos(n_videos: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 7
+_FIXTURE_VERSION = 8
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,

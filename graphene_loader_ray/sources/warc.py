@@ -39,9 +39,12 @@ _CRLF = b"\r\n"
 # ------------------------------------------------------------------ writer
 
 def _iso(ts_us: int) -> str:
+    """WARC-Date with microsecond precision (WARC 1.1 allows fractional
+    seconds) — whole-second formatting would silently truncate sub-second
+    timestamps through a write→read roundtrip."""
     import datetime as dt
     t = dt.datetime.fromtimestamp(ts_us / 1e6, dt.timezone.utc)
-    return t.strftime("%Y-%m-%dT%H:%M:%SZ")
+    return t.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
 
 
 def write_warc(pages: pa.Table, out_path: str) -> int:
@@ -77,13 +80,20 @@ def write_warc(pages: pa.Table, out_path: str) -> int:
 
 # ------------------------------------------------------------------- index
 
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
 def index_warc(path: str, chunk_size: int = 1 << 20) -> list[tuple[int,
                                                                    int]]:
     """(offset, length) of every gzip member in ``path``. One streaming
     decompress-and-discard walk in ``chunk_size`` reads (constant memory,
-    no O(file²) buffer copies), parallelized one task per file. A
-    truncated or corrupt tail surfaces as one final span so the parse
-    task can emit a quarantine row for it."""
+    no O(file²) buffer copies), parallelized one task per file.
+
+    A corrupt member does NOT swallow the rest of the shard: the walk
+    emits the bad bytes as one span (the parse task turns it into an
+    ok=false quarantine row) and RESYNCS at the next gzip magic
+    (``1f 8b 08``), so every intact member after a flipped byte still
+    parses. A truncated final member surfaces the same way."""
     spans: list[tuple[int, int]] = []
     size = os.path.getsize(path)
     with open(path, "rb") as fh:
@@ -102,8 +112,35 @@ def index_warc(path: str, chunk_size: int = 1 << 20) -> list[tuple[int,
             try:
                 d.decompress(buf)
             except zlib.error:
-                spans.append((member_start, size - member_start))
-                break
+                # resync: find the next member magic strictly after the
+                # failing member's start and continue from there
+                resync = -1
+                search_from = max(member_start + 1, buf_off)
+                fh.seek(search_from)
+                window = b""
+                pos = search_from
+                while True:
+                    block = fh.read(chunk_size)
+                    if not block:
+                        break
+                    window = window[-2:] + block   # magic may straddle
+                    hit = window.find(_GZ_MAGIC)
+                    if hit != -1:
+                        # window starts (len(window)-len(block)) bytes
+                        # before the current block's file position
+                        resync = pos - (len(window) - len(block)) + hit
+                        break
+                    pos += len(block)
+                if resync == -1:
+                    spans.append((member_start, size - member_start))
+                    break
+                spans.append((member_start, resync - member_start))
+                member_start = resync
+                fh.seek(resync)
+                buf, buf_off = b"", resync
+                fed_any = False
+                d = zlib.decompressobj(wbits=31)
+                continue
             fed_any = True
             consumed = len(buf) - len(d.unused_data)
             buf_off += consumed
@@ -137,11 +174,17 @@ def _parse_record(raw: bytes) -> dict:
     status = int(body.split(_CRLF, 1)[0].split(b" ")[1])
     payload = body[http_head_end + 4:]
     import datetime as dt
-    ts = dt.datetime.strptime(headers[b"warc-date"].decode(),
-                              "%Y-%m-%dT%H:%M:%SZ") \
+    raw_date = headers[b"warc-date"].decode()
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in raw_date \
+        else "%Y-%m-%dT%H:%M:%SZ"
+    ts = dt.datetime.strptime(raw_date, fmt) \
         .replace(tzinfo=dt.timezone.utc)
     return {"url": headers[b"warc-target-uri"].decode(),
-            "warc_ts": int(ts.timestamp() * 1e6),
+            # integer µs since epoch: float .timestamp()*1e6 rounds some
+            # microsecond fractions
+            "warc_ts": (ts - dt.datetime(1970, 1, 1,
+                                         tzinfo=dt.timezone.utc))
+            // dt.timedelta(microseconds=1),
             "status": status, "html": payload}
 
 

@@ -1591,3 +1591,49 @@ def test_span_dedup_fast_hash_equals_md5(ray_session):
                    hash_fn="fast", broadcast_max=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(outs["md5"], j, check_exact=True)
+
+
+def test_temperature_sample_null_keys_match_sql(ray_session):
+    """Null group keys are CAPPED like any group (the SQL twin's
+    PARTITION BY keeps a NULL partition), not silently dropped."""
+    import duckdb
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sample import (temperature_sample,
+                                                temperature_sample_sql)
+
+    rows = [{"doc_id": i, "lang": (None if i % 3 == 0 else "en")}
+            for i in range(90)]
+    t = pa.Table.from_pylist(rows)
+    got = temperature_sample(rd.from_arrow(t).repartition(4), key="lang",
+                             id_col="doc_id", alpha=0.5, scale=2.0,
+                             num_partitions=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("tbl", t.to_pandas())
+    gold = con.execute(temperature_sample_sql(
+        "tbl", "lang", "doc_id", 0.5, 2.0,
+        ["doc_id", "lang"])).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, gold, check_exact=True)
+    assert got["lang"].isna().sum() > 0       # null group sampled, kept
+
+
+def test_unigram_lm_empty_vocab_all_oov(ray_session):
+    """A degenerate corpus (no tokens at train time) must score later
+    docs as all-OOV, not crash."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.lm import (score_perplexity,
+                                            train_unigram_lm)
+
+    empty = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["   "], pa.string())})
+    m = train_unigram_lm(rd.from_arrow(empty), vocab_size=8)
+    assert m["n_vocab"] == 0 and m["total"] == 0
+    docs = pa.table({"doc_id": pa.array([2], pa.int64()),
+                     "text": pa.array(["hello world"], pa.string())})
+    out = score_perplexity(rd.from_arrow(docs), m).to_pandas()
+    assert out.loc[0, "lm_cost_micro"] == 2 * m["oov_cost"]

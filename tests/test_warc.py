@@ -117,3 +117,39 @@ def test_kg_from_warc_equals_parquet(fixture_dir, tmp_path):
     for k in ("edges", "nodes"):
         pd.testing.assert_frame_equal(outs["parquet"][k], outs["warc"][k],
                                       check_exact=True)
+
+
+def test_warc_subsecond_timestamps_roundtrip(tmp_path):
+    """WARC-Date carries microseconds — a sub-second warc_ts must
+    survive write→read exactly (whole-second formatting would silently
+    truncate it)."""
+    t = pa.table({
+        "url": pa.array(["https://x.example/a"], pa.string()),
+        "warc_ts": pa.array([1_600_000_000_123_456], pa.timestamp("us")),
+        "html": pa.array([b"<html>x</html>"], pa.binary())})
+    p = tmp_path / "sub.warc.gz"
+    write_warc(t, str(p))
+    got = read_warc([str(p)]).to_pandas()
+    assert got.loc[0, "ok"]
+    assert got.loc[0, "warc_ts"].value // 1000 == 1_600_000_000_123_456
+
+
+def test_warc_midfile_corruption_resyncs(fixture_dir, tmp_path):
+    """A flipped byte in an EARLY member must not swallow the rest of
+    the shard: the index resyncs at the next gzip magic and every later
+    intact record still parses."""
+    src = sorted(os.listdir(os.path.join(fixture_dir, "warc")))[0]
+    src = os.path.join(fixture_dir, "warc", src)
+    spans = index_warc(src)
+    n_total = len(spans)
+    assert n_total >= 10
+    dst = tmp_path / "early_corrupt.warc.gz"
+    shutil.copy(src, dst)
+    off = spans[1][0] + spans[1][1] // 2      # inside member 2 of many
+    with open(dst, "r+b") as fh:
+        fh.seek(off)
+        fh.write(b"\x00\x00\x00\x00")
+    got = read_warc([str(dst)]).to_pandas()
+    assert (~got["ok"]).sum() >= 1
+    # nearly everything after the corruption survives
+    assert got["ok"].sum() >= n_total - 2
