@@ -567,6 +567,19 @@ def stratified_documents(sf_dir: str):
         key="lang", id_col="doc_id", k=20)
 
 
+def zscore_events(sf_dir: str):
+    """Group-wise z-score normalization of the event value per event
+    type: exact integer-cents sufficient statistics (combiner-first,
+    driver-reduced in python ints), broadcast model, map-side vectorized
+    normalize — no corpus shuffle. DuckDB twin generated from the same
+    double expression."""
+    from ..ops.normalize import zscore_by_group
+    return zscore_by_group(
+        _read(sf_dir, "events",
+              columns=["event_id", "event_type", "value"]),
+        key="event_type", value_col="value")
+
+
 def rebalanced_documents(sf_dir: str):
     """Temperature (alpha=0.5) corpus rebalancing: each language keeps
     floor(3·sqrt(n)+0.5) deterministically-chosen documents, flattening
@@ -1057,6 +1070,7 @@ QUERIES = {
     "sample_documents": sample_documents,
     "stratified_documents": stratified_documents,
     "rebalanced_documents": rebalanced_documents,
+    "zscore_events": zscore_events,
     "doc_length_band": doc_length_band,
     "bloom_new_documents": bloom_new_documents,
     "span_dedup_docs": span_dedup_docs,
@@ -1544,3 +1558,8 @@ ORACLE_SQL["rebalanced_documents"] = _temp_sql(
 from ..ops.chunk import chunk_documents_sql as _chunk_sql  # noqa: E402
 
 ORACLE_SQL["chunked_documents"] = _chunk_sql("documents", 400, 80)
+
+from ..ops.normalize import zscore_by_group_sql as _z_sql  # noqa: E402
+
+ORACLE_SQL["zscore_events"] = _z_sql(
+    "events", "event_type", "value", ["event_id", "event_type", "value"])

@@ -1637,3 +1637,45 @@ def test_unigram_lm_empty_vocab_all_oov(ray_session):
                      "text": pa.array(["hello world"], pa.string())})
     out = score_perplexity(rd.from_arrow(docs), m).to_pandas()
     assert out.loc[0, "lm_cost_micro"] == 2 * m["oov_cost"]
+
+
+def test_zscore_by_group_rules(ray_session):
+    """Z-score rules pinned: exact small case, singleton and
+    zero-variance groups NULL, null keys dropped, partitioning
+    invariant, and hash-exact vs the generated SQL twin."""
+    import duckdb
+
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.normalize import (zscore_by_group,
+                                                   zscore_by_group_sql)
+
+    rows = ([{"event_id": i, "event_type": "a",
+              "value": float(v)} for i, v in enumerate([1.0, 2.0, 3.0])]
+            + [{"event_id": 10, "event_type": "b", "value": 5.0}]   # n=1
+            + [{"event_id": 11, "event_type": "c", "value": 7.0},
+               {"event_id": 12, "event_type": "c", "value": 7.0}]   # var=0
+            + [{"event_id": 13, "event_type": None, "value": 9.0}])
+    t = pa.Table.from_pylist(rows)
+
+    outs = []
+    for blocks in (1, 5):
+        out = zscore_by_group(rd.from_arrow(t).repartition(blocks),
+                              key="event_type", value_col="value") \
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    out = outs[0]
+
+    assert 13 not in set(out["event_id"])          # null key dropped
+    a = out[out["event_type"] == "a"].set_index("event_id")["zscore"]
+    assert a.loc[0] == -1.0 and a.loc[1] == 0.0 and a.loc[2] == 1.0
+    assert out[out["event_type"].isin(["b", "c"])]["zscore"].isna().all()
+
+    con = duckdb.connect()
+    con.register("tbl", t.to_pandas())
+    gold = con.execute(zscore_by_group_sql(
+        "tbl", "event_type", "value",
+        ["event_id", "event_type", "value"])).fetchdf() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, gold, check_exact=True)
