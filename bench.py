@@ -61,7 +61,7 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "shipping_priority", "span_dedup_docs", "curate_web_pages",
                "kmeans_embeddings", "lm_perplexity",
                "rebalanced_documents", "warc_pages", "chunked_documents",
-               "packed_documents", "zscore_events"]
+               "packed_documents", "zscore_events", "tfidf_keywords"]
 
 
 def _pool(ncpu: int) -> int:

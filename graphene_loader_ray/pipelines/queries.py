@@ -567,6 +567,15 @@ def stratified_documents(sf_dir: str):
         key="lang", id_col="doc_id", k=20)
 
 
+def tfidf_keywords(sf_dir: str):
+    """TF-IDF keyword extraction: top-3 terms per document by tf·idf
+    (document-frequency pass → broadcast idf → map-side per-doc top-k;
+    round-then-rank total order shared with the DuckDB twin)."""
+    from ..ops.tfidf import top_terms_per_doc
+    return top_terms_per_doc(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), k=3)
+
+
 def zscore_events(sf_dir: str):
     """Group-wise z-score normalization of the event value per event
     type: exact integer-cents sufficient statistics (combiner-first,
@@ -1071,6 +1080,7 @@ QUERIES = {
     "stratified_documents": stratified_documents,
     "rebalanced_documents": rebalanced_documents,
     "zscore_events": zscore_events,
+    "tfidf_keywords": tfidf_keywords,
     "doc_length_band": doc_length_band,
     "bloom_new_documents": bloom_new_documents,
     "span_dedup_docs": span_dedup_docs,
@@ -1563,3 +1573,7 @@ from ..ops.normalize import zscore_by_group_sql as _z_sql  # noqa: E402
 
 ORACLE_SQL["zscore_events"] = _z_sql(
     "events", "event_type", "value", ["event_id", "event_type", "value"])
+
+from ..ops.tfidf import top_terms_per_doc_sql as _tfidf_sql  # noqa: E402
+
+ORACLE_SQL["tfidf_keywords"] = _tfidf_sql("documents", k=3)

@@ -1679,3 +1679,36 @@ def test_zscore_by_group_rules(ray_session):
         ["event_id", "event_type", "value"])).fetchdf() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, gold, check_exact=True)
+
+
+def test_tfidf_keywords_rules(ray_session):
+    """TF-IDF pinning: a corpus-wide stopword loses to a rare term at
+    equal tf, exactly k rows per tokenful doc, and the result is
+    partitioning-invariant."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.tfidf import top_terms_per_doc
+
+    rows = [{"doc_id": i,
+             "text": f"common common rare{i} rare{i} filler{i % 2}"}
+            for i in range(8)]
+    rows.append({"doc_id": 99, "text": None})
+    t = pa.Table.from_pylist(rows)
+
+    outs = []
+    for blocks in (1, 4):
+        out = top_terms_per_doc(rd.from_arrow(t).repartition(blocks),
+                                k=2).to_pandas() \
+            .sort_values(["doc_id", "term"]).reset_index(drop=True)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1], check_exact=True)
+    out = outs[0]
+
+    assert 99 not in set(out["doc_id"])           # null text emits nothing
+    assert (out.groupby("doc_id").size() == 2).all()
+    for did, g in out.groupby("doc_id"):
+        terms = list(g["term"])
+        # rare{i} (df=1) must outrank common (df=8) at equal tf=2
+        assert f"rare{did}" in terms
+        top = g.sort_values("score", ascending=False).iloc[0]
+        assert top["term"] == f"rare{did}" and top["tf"] == 2
