@@ -27,6 +27,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -304,9 +305,11 @@ def _candidate_shingles(docs: Dataset, ids_ref, shingle_n: int,
     import ray
 
     def keep_shingles(batch: pa.Table) -> pa.Table:
+        # vectorized semi-join mask against the broadcast sorted id array
+        # (VERDICT r3 #3 — the per-row `i in ids` loop ran on EVERY
+        # corpus row); ray.get caches, pa.array over numpy is zero-copy
         ids = ray.get(ids_ref)
-        keep = pa.array([i in ids for i in batch[id_col].to_pylist()],
-                        pa.bool_())
+        keep = pc.is_in(batch[id_col], value_set=pa.array(ids))
         kept = batch.filter(keep)
         shingler = ShingleHasher(shingle_n)
         sh = [shingler.shingle_hashes(t or "").tobytes()
@@ -317,14 +320,18 @@ def _candidate_shingles(docs: Dataset, ids_ref, shingle_n: int,
     return docs.map_batches(keep_shingles, batch_format="pyarrow")
 
 
-def _pair_ids(pairs: Dataset) -> set[int]:
-    """Distinct doc ids named by any pair, streamed (ids only — 8 B per
-    candidate doc reaches the driver, never shingles or text)."""
-    ids: set[int] = set()
+def _pair_ids(pairs: Dataset) -> np.ndarray:
+    """Distinct doc ids named by any pair as a SORTED int64 array,
+    streamed (ids only — 8 B per candidate doc reaches the driver, never
+    shingles or text). An array, not a set: broadcast consumers run a
+    vectorized ``pc.is_in`` per batch instead of per-row membership."""
+    chunks: list[np.ndarray] = []
     for b in pairs.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        ids.update(b["a"].to_pylist())
-        ids.update(b["b"].to_pylist())
-    return ids
+        chunks.append(b["a"].to_numpy(zero_copy_only=False))
+        chunks.append(b["b"].to_numpy(zero_copy_only=False))
+    if not chunks:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(chunks).astype(np.int64))
 
 
 def _jaccard_of(sa: np.ndarray, sb: np.ndarray) -> float:
@@ -410,7 +417,9 @@ def verify_jaccard(pairs: Dataset, docs: Dataset, threshold: float,
     # driver path: pair set + shingle map are near-dup-population-scale
     # by construction — the documented bound of this mode
     pair_df = pairs.to_pandas().drop_duplicates(["a", "b"])
-    ids_ref = ray.put(set(pair_df["a"]) | set(pair_df["b"]))
+    ids_ref = ray.put(np.unique(np.concatenate([
+        pair_df["a"].to_numpy(np.int64), pair_df["b"].to_numpy(np.int64)])
+        if len(pair_df) else [np.empty(0, np.int64)] * 2))
 
     sh_map: dict[int, np.ndarray] = {}
     for b in _candidate_shingles(docs, ids_ref, shingle_n, text_col,
@@ -661,9 +670,9 @@ def ngram_jaccard_pairs(docs: Dataset, threshold: float = 0.1, n: int = 3,
     ids_ref = ray.put(_pair_ids(cand))
 
     def sizes_batch(batch: pa.Table) -> pa.Table:
+        # vectorized semi-join mask (VERDICT r3 #3; see keep_shingles)
         ids = ray.get(ids_ref)
-        keep = pa.array([i in ids for i in batch[id_col].to_pylist()],
-                        pa.bool_())
+        keep = pa.compute.is_in(batch[id_col], value_set=pa.array(ids))
         kept = batch.filter(keep)
         ns = [n_shingles(t) for t in kept[text_col].to_pylist()]
         return pa.table({"doc_id": kept[id_col],
@@ -755,10 +764,14 @@ class SimHasher:
         return int(((acc > 0).astype(np.uint64) << self.shifts).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t or "") for t in batch[self.text_col].to_pylist()]
+        hs = np.fromiter(
+            (self.simhash(t or "")
+             for t in batch[self.text_col].to_pylist()),
+            dtype=np.uint64, count=batch.num_rows)
+        # uint64 column, not hex strings (VERDICT r3 #1): banding and the
+        # hamming verify stay pure numpy with no per-pair int(h, 16)
         return pa.table({"doc_id": batch[self.id_col],
-                         "simhash": pa.array([f"{h:016x}" for h in hs],
-                                             pa.string())})
+                         "simhash": pa.array(hs, pa.uint64())})
 
 
 def simhash_signatures(docs: Dataset, **kw) -> Dataset:
@@ -766,47 +779,121 @@ def simhash_signatures(docs: Dataset, **kw) -> Dataset:
                             batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Population count over a uint64 array (numpy 1.x lacks
+    ``bitwise_count``): byte view → unpackbits → per-word sum."""
+    if hasattr(np, "bitwise_count"):          # numpy >= 2.0
+        return np.bitwise_count(x).astype(np.int64)
+    flat = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(flat.reshape(-1, 8), axis=1) \
+        .sum(axis=1, dtype=np.int64).reshape(x.shape)
+
+
+def _simhash_blocks(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) of the B = max_hamming + 2 near-even bit blocks."""
+    b = max_hamming + 2
+    widths = [(64 // b) + (1 if i < 64 % b else 0) for i in range(b)]
+    shifts, off = [], 0
+    for w in widths:
+        shifts.append(off)
+        off += w
+    return list(zip(shifts, widths))
+
+
 def simhash_neardup_pairs(docs: Dataset, max_hamming: int = 3,
+                          max_bucket: int = 256,
+                          stats_out: dict | None = None,
                           **kw) -> Dataset:
-    """Band the 64-bit simhash into 4×16-bit keys (any pair within hamming
-    ≤ 3 shares at least one band) → bucket groupby → hamming verify."""
+    """SimHash near-dup pairs: block-pair banding → bucket groupby →
+    vectorized hamming verify. Returns (a, b, hamming), a < b.
+
+    Banding is the multi-block scheme (Manku/Jain/Sarma, WWW'07 §3): the
+    64-bit signature splits into B = max_hamming + 2 near-even blocks and
+    every UNORDERED PAIR of blocks forms a band key — ≤ max_hamming bit
+    errors touch at most max_hamming blocks, leaving ≥ 2 intact, so every
+    qualifying pair shares at least one band (exact recall). At the
+    default max_hamming=3 that is C(5,2)=10 bands with ~26-bit keys —
+    ~67M distinct buckets per band instead of the 65,536 a single 16-bit
+    block allows (VERDICT r3 #1), so corpus-scale bucket sizes stay
+    O(n / distinct-prefixes), not O(n / 65k).
+
+    Buckets above ``max_bucket`` docs keep the ``max_bucket`` least doc
+    ids; truncation is REPORTED via ``stats_out``
+    ({"truncated_buckets", "dropped_docs"}), never silent — same contract
+    as :func:`lsh_candidate_pairs`. The in-bucket verify is one xor +
+    popcount over the bucket's uint64 signature array (no per-pair
+    Python)."""
     sigs = simhash_signatures(docs, **kw).materialize()
+    blocks = _simhash_blocks(max_hamming)
+    combos = list(itertools.combinations(range(len(blocks)), 2))
 
     def explode(batch: pa.Table) -> pa.Table:
-        band, key, doc, sim = [], [], [], []
-        for d, h in zip(batch["doc_id"].to_pylist(),
-                        batch["simhash"].to_pylist()):
-            v = int(h, 16)
-            for bi in range(4):
-                band.append(bi)
-                key.append((v >> (16 * bi)) & 0xFFFF)
-                doc.append(d)
-                sim.append(h)
-        return pa.table({"band": pa.array(band, pa.int32()),
-                         "key": pa.array(key, pa.int32()),
-                         "doc_id": pa.array(doc, pa.int64()),
-                         "simhash": pa.array(sim, pa.string())})
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "key": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.uint64())})
+        v = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [(v >> np.uint64(s)) & np.uint64((1 << w) - 1)
+                for s, w in blocks]
+        keys = np.empty((len(combos), n), dtype=np.uint64)
+        for bi, (i, j) in enumerate(combos):
+            keys[bi] = (vals[i] << np.uint64(blocks[j][1])) | vals[j]
+        nb = len(combos)
+        return pa.table({
+            "band": pa.array(np.repeat(np.arange(nb, dtype=np.int32), n)),
+            "key": pa.array(keys.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.tile(d, nb), pa.int64()),
+            "simhash": pa.array(np.tile(v, nb), pa.uint64())})
 
     def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verified pairs for every bucket hashed into this
+        partition; per bucket the verify is one vectorized xor+popcount
+        over the upper triangle. Truncated buckets emit a marker row
+        (a = -1, b = #docs dropped, hamming = 0)."""
         part = part.drop_duplicates(["band", "key", "doc_id"])
         sizes = part.groupby(["band", "key"])["doc_id"].transform("size")
-        rows = []
-        for _, g in part[sizes >= 2].groupby(["band", "key"]):
+        out_a, out_b, out_h = [], [], []
+        markers: list[int] = []
+        for _, g in part[sizes >= 2].groupby(["band", "key"], sort=False):
             g = g.sort_values("doc_id")
-            recs = list(zip(g["doc_id"], g["simhash"]))
-            for (da, ha), (db, hb) in itertools.combinations(recs, 2):
-                dist = bin(int(ha, 16) ^ int(hb, 16)).count("1")
-                if dist <= max_hamming:
-                    rows.append((da, db, dist))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"]) if rows \
-            else pd.DataFrame({"a": pd.Series(dtype="int64"),
-                               "b": pd.Series(dtype="int64"),
-                               "hamming": pd.Series(dtype="int64")})
+            if len(g) > max_bucket:
+                markers.append(len(g) - max_bucket)
+                g = g.head(max_bucket)
+            sig = g["simhash"].to_numpy(np.uint64)
+            did = g["doc_id"].to_numpy(np.int64)
+            ii, jj = np.triu_indices(len(g), 1)
+            dist = _popcount64(sig[ii] ^ sig[jj])
+            ok = dist <= max_hamming
+            out_a.append(did[ii][ok])
+            out_b.append(did[jj][ok])
+            out_h.append(dist[ok])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        if markers:
+            a = np.concatenate([a, np.full(len(markers), -1, np.int64)])
+            b = np.concatenate([b, np.asarray(markers, np.int64)])
+            h = np.concatenate([h, np.zeros(len(markers), np.int64)])
+        return pd.DataFrame({"a": a, "b": b, "hamming": h})
 
     from .partition import group_partitioned
-    cand = group_partitioned(
+    marked = group_partitioned(
         sigs.map_batches(explode, batch_format="pyarrow"),
-        ["band", "key"], pairs_part)
+        ["band", "key"], pairs_part).materialize()  # candidate-scale
+    stats = {"truncated_buckets": 0, "dropped_docs": 0}
+    for mb in marked.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        m = mb.filter(pc.equal(mb["a"], -1))
+        stats["truncated_buckets"] += m.num_rows
+        stats["dropped_docs"] += int(pc.sum(m["b"]).as_py() or 0)
+    if stats_out is not None:
+        stats_out.update(stats)
+    cand = marked.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["a"], 0)),
+        batch_format="pyarrow")
     from .aggregate import exact_dedup
     return exact_dedup(cand, ["a", "b", "hamming"], num_output_blocks=4)
 

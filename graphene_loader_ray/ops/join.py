@@ -55,6 +55,11 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
     keys + left payload + right payload (inner), or the left side unchanged
     (semi/anti).
 
+    NULL join keys follow SQL semantics (ADVICE r3 — pandas merge would
+    otherwise match NA==NA): a row with ANY null key value never matches,
+    so it is dropped from inner/semi output and KEPT in anti output (the
+    NOT-EXISTS rule: a null-key correlate finds nothing).
+
     ``num_partitions`` is the hash-partition count (ops/partition.py): the
     shuffle key is ``hash(on) % P`` and each partition is matched with ONE
     vectorized pandas merge. Size P to ~(total rows / target partition
@@ -104,15 +109,23 @@ def equi_join(left: Dataset, right: Dataset, on: list[str],
             .to_pandas(types_mapper=_PD_INT.get)
         rhs = part.filter(pc.invert(is_l)).select(on + rcols) \
             .to_pandas(types_mapper=_PD_INT.get)
+        # SQL NULL-key semantics: null keys never equal anything. Right
+        # rows with null keys can't match (drop always); left rows with
+        # null keys drop from inner/semi and stay in anti.
+        lhs_null = lhs[on].isna().any(axis=1)
+        rhs = rhs.dropna(subset=on) if len(rhs) else rhs
         if how == "inner":
-            out = lhs.merge(rhs, on=on, how="inner")
+            out = lhs[~lhs_null].merge(rhs, on=on, how="inner")
             return out.reindex(columns=on + lcols + rcols)
         keys_r = rhs[on].drop_duplicates()
         if how == "left_semi":
-            return lhs.merge(keys_r, on=on, how="inner")
+            return lhs[~lhs_null].merge(keys_r, on=on, how="inner")
         if how == "left_anti":
-            marked = lhs.merge(keys_r.assign(__hit=1), on=on, how="left")
-            return marked[marked["__hit"].isna()][on + lcols]
+            nn = lhs[~lhs_null]
+            marked = nn.merge(keys_r.assign(__hit=1), on=on, how="left")
+            return pd.concat([marked[marked["__hit"].isna()][on + lcols],
+                              lhs[lhs_null][on + lcols]],
+                             ignore_index=True)
         raise ValueError(how)
 
     from .partition import group_partitioned

@@ -34,14 +34,16 @@ def _rank_hash(df: pd.DataFrame, id_col: str) -> pd.Series:
 
 
 def _sort_grouped(df: pd.DataFrame, key: str, id_col: str) -> pd.DataFrame:
-    """Order rows by (key, hash, id) with NULL keys sortable: multi-key
-    object sorts lexsort raw values (None < str raises TypeError), so
-    the key sorts via a filled copy. A ""-collision only interleaves the
-    two groups — within-group (hash, id) order, which is all the
-    head/cumcount selection reads, is preserved."""
-    return df.assign(_kf=df[key].fillna("")) \
-        .sort_values(["_kf", _H, id_col], kind="mergesort") \
-        .drop(columns=["_kf"])
+    """Order rows by (key, hash, id) with NULL keys sortable for ANY key
+    dtype: multi-key object sorts lexsort raw values (None < str raises
+    TypeError; a string fill on a numeric key mixes types), so the key
+    sorts via its dense rank with nulls ranked last — dtype-agnostic and
+    total. Group interleaving doesn't matter: within-group (hash, id)
+    order, which is all the head/cumcount selection reads, is
+    preserved."""
+    return df.assign(_kr=df[key].rank(method="dense", na_option="bottom")) \
+        .sort_values(["_kr", _H, id_col], kind="mergesort") \
+        .drop(columns=["_kr"])
 
 
 def _topk_per_group(df: pd.DataFrame, key: str, id_col: str,

@@ -74,6 +74,13 @@ class _Explode:
                           for c in chunks], pa.string())
         ids = np.asarray(doc_ids, dtype=np.int64)
         ix = np.asarray(idxs, dtype=np.int64)
+        # a doc with ≥2^20 spans (~10M words) would bleed its high span
+        # indexes into the next doc_id's key space and corrupt keep-first
+        # resolution for BOTH docs — fail loudly instead (ADVICE r3)
+        if ix.size and int(ix.max()) >= (1 << _IDX_BITS):
+            raise ValueError(
+                f"document with >= 2^{_IDX_BITS} spans exceeds the "
+                "span-index key budget; split oversized documents upstream")
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
             "idx": pa.array(ix, pa.int64()),

@@ -1,4 +1,4 @@
-"""MySQL-dump source — the reference's actual input format, Ray-native.
+r"""MySQL-dump source — the reference's actual input format, Ray-native.
 
 The reference parses the Plant-Reactome MySQL dump itself with a
 line-oriented 6-state machine and re-reads the file per table

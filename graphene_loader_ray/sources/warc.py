@@ -113,9 +113,15 @@ def index_warc(path: str, chunk_size: int = 1 << 20) -> list[tuple[int,
                 d.decompress(buf)
             except zlib.error:
                 # resync: find the next member magic strictly after the
-                # failing member's start and continue from there
+                # failing member's start and continue from there. Search
+                # from member_start+1, NOT from the failing chunk: the
+                # decompressor may consume whole chunks of a corrupt
+                # member before erroring, and an intact member whose
+                # magic lies in that already-consumed region would
+                # otherwise be folded into the quarantined span. The
+                # rescan cost is bounded by one member.
                 resync = -1
-                search_from = max(member_start + 1, buf_off)
+                search_from = member_start + 1
                 fh.seek(search_from)
                 window = b""
                 pos = search_from
