@@ -139,6 +139,98 @@ def exact_text_dedup(docs: Dataset, text_col: str = "text",
                    Count(alias_name="n_dups"))
 
 
+def keep_first_per_key(ds: Dataset, key_col: str, order_col: str,
+                       broadcast_max: int = 2_000_000,
+                       num_partitions: int = 16) -> Dataset:
+    """Keep exactly the min-``order_col`` row per ``key_col`` group WITHOUT
+    shuffling the full rows — the combiner-first winner recipe
+    (ops/span_dedup.py) generalized (VERDICT r3 #2).
+
+    Shape: one streaming pass computes (key → min order, row count) with
+    an in-batch combiner, so only (key, order) pairs reach the one small
+    groupby; keys with a single row need no filtering at all. The
+    DUPLICATED-key winner set (usually a small fraction of distinct keys)
+    then resolves map-side: at or below ``broadcast_max`` winners it
+    broadcasts as sorted numpy arrays and each batch filters with one
+    searchsorted (no shuffle touches the full rows); above it, two keyed
+    joins of the rows against the winner table do the same (the
+    documented fallback — full rows then shuffle once).
+
+    ``key_col``: int64 or string. ``order_col``: int64 or string; a
+    string order column is compared by its stable 63-bit hash in the
+    broadcast path, so two DISTINCT order values colliding in 63 bits
+    within one key group would both survive (~n²/2⁶⁴ per group —
+    negligible; the join fallback compares exactly). Rows where
+    ``order_col`` is genuinely tied (byte-identical) all survive — the
+    keep-first rule cannot distinguish them."""
+    from ray.data.aggregate import Min, Sum
+
+    from .partition import stable_hash63
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, order_col]).group_by(key_col) \
+            .aggregate([(order_col, "min"), (order_col, "count")])
+        return pa.table({
+            key_col: g[key_col],
+            "__w": g[f"{order_col}_min"],
+            "__n": pc.cast(g[f"{order_col}_count"], pa.int64())})
+
+    win = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Min("__w", alias_name="__w"),
+                                    Sum("__n", alias_name="__n"))
+    dup = win.map_batches(
+        lambda t: t.filter(pc.greater(t["__n"], 1))
+                   .select([key_col, "__w"]),
+        batch_format="pyarrow").materialize()   # duplicated-key-scale
+
+    n_dup = dup.count()
+    if n_dup == 0:                 # no key occurs twice — nothing to drop
+        return ds
+    if n_dup <= broadcast_max:
+        import ray
+
+        dt = dup.to_pandas()
+        keys = dt[key_col].to_numpy()
+        str_key = keys.dtype == object
+        keys = keys.astype("U") if str_key else keys.astype(np.int64)
+        order = np.argsort(keys)
+        wvals = dt["__w"].to_numpy()
+        str_order = wvals.dtype == object
+        wfp = stable_hash63(wvals) if str_order \
+            else wvals.astype(np.int64)
+        handle = ray.put((keys[order], wfp[order]))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ks, ws = ray.get(handle)
+            kv = t[key_col].to_numpy(zero_copy_only=False)
+            kv = kv.astype("U") if str_key else kv.astype(np.int64)
+            if len(ks) == 0:
+                return t
+            pos = np.searchsorted(ks, kv)
+            pos[pos >= len(ks)] = 0
+            hit = ks[pos] == kv
+            ov = t[order_col].to_numpy(zero_copy_only=False)
+            ofp = stable_hash63(pd.Series(ov)) if str_order \
+                else ov.astype(np.int64)
+            return t.filter(pa.array(~hit | (ws[pos] == ofp), pa.bool_()))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+
+    # winner set too large to broadcast: resolve with keyed joins (full
+    # rows shuffle once — span_dedup's fallback shape, incl. feeding BOTH
+    # joins the identical dup table; see that module's operator-dedup note)
+    from .join import equi_join
+    nondup = equi_join(ds, dup, on=[key_col], how="left_anti",
+                       num_partitions=num_partitions)
+    dupped = equi_join(ds, dup, on=[key_col],
+                       num_partitions=num_partitions)
+    kept = dupped.map_batches(
+        lambda t: t.filter(pc.equal(t[order_col], t["__w"]))
+                   .drop_columns(["__w"]),
+        batch_format="pyarrow")
+    return nondup.union(kept)
+
+
 def hash_sample(docs: Dataset, rate_sixteenths: int,
                 text_col: str = "text") -> Dataset:
     """Deterministic content-hash sampling: keep rows whose md5(text)

@@ -331,6 +331,35 @@ def test_simhash_popcount_and_banding():
             for i in range(len(blocks) - 1))
 
 
+def test_keep_first_per_key_paths(ray_session):
+    """keep_first_per_key keeps exactly the min-order row per duplicated
+    key and all single-row keys, identically on the broadcast path and
+    the keyed-join fallback, for int and string key/order columns."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.dedup import keep_first_per_key
+
+    rows = [{"k": 1, "o": "b", "v": 10}, {"k": 1, "o": "a", "v": 11},
+            {"k": 2, "o": "z", "v": 12},
+            {"k": 3, "o": "m", "v": 13}, {"k": 3, "o": "n", "v": 14},
+            {"k": 3, "o": "l", "v": 15}]
+    want = {(1, "a"), (2, "z"), (3, "l")}
+    for bmax in (2_000_000, 0):            # broadcast vs join fallback
+        out = keep_first_per_key(rd.from_items(rows), "k", "o",
+                                 broadcast_max=bmax).to_pandas()
+        assert {(int(k), o) for k, o in zip(out["k"], out["o"])} == want
+        assert len(out) == 3
+
+    # string key, int order (the curate exact-text shape)
+    rows2 = [{"h": "x", "doc_id": 7}, {"h": "x", "doc_id": 3},
+             {"h": "y", "doc_id": 9}]
+    for bmax in (2_000_000, 0):
+        out = keep_first_per_key(rd.from_items(rows2), "h", "doc_id",
+                                 broadcast_max=bmax).to_pandas()
+        assert {(h, int(d)) for h, d in zip(out["h"], out["doc_id"])} \
+            == {("x", 3), ("y", 9)}
+
+
 def test_simhash_truncation_reported(ray_session):
     """A degenerate bucket (identical docs beyond max_bucket) is truncated
     AND reported in the stats dict — never silent (VERDICT r3 #1: same
