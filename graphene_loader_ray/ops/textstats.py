@@ -195,6 +195,95 @@ class QualityScorer:
         })
 
 
+def winnow_fingerprint_sql(table: str, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           w: int = 4) -> str:
+    """Generated DuckDB twin of QualityScorer._fingerprint (VERDICT r3
+    #7) — the winnowing kernel is deterministic arithmetic over code
+    points, so it IS SQL-expressible with uint64 emulation:
+
+      chars   : one row per character (DuckDB's character iteration is
+                codepoint-exact vs the engine's utf-32 view — tested)
+      grams   : the k-gram polynomial hash via k lead() terms × the
+                precomputed B^p mod 2^64 powers (HUGEINT sums stay below
+                2^88, one final mod)
+      mixed   : the splitmix64 finalizer; the 64×64 multiplies split at
+                32 bits (lo*C + ((hi*C) mod 2^32)·2^32, all < 2^97)
+                because HUGEINT caps at 2^127
+      minima  : sliding-window min over w grams (ROWS BETWEEN), one
+                window row per winnowing window
+      agg     : fingerprint = min selected hash as lower hex,
+                n_fingerprints = count(DISTINCT selected)
+
+    Short docs (0 < n < k) hash one whole-text gram of degree n —
+    expressed by the per-doc ``deg``; empty/null text contributes the
+    engine's all-zero fingerprint via the UNION branch."""
+    B = 0x100000001B3
+    C1, C2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    M = 1 << 64
+    pows = [pow(B, p, M) for p in range(k)]
+    pows_lit = "[" + ", ".join(f"{p}::HUGEINT" for p in pows) + "]"
+    terms = " + ".join(
+        f"(CASE WHEN {j} < deg THEN COALESCE(lead(c, {j}) OVER w8, 0)"
+        f" * list_extract({pows_lit}, deg - {j}) ELSE 0 END)"
+        for j in range(k))
+
+    def mulmod(a: str, c: int) -> str:
+        return (f"((({a}) % 4294967296) * {c}::HUGEINT"
+                f" + (((({a}) >> 32) * {c}::HUGEINT) % 4294967296)"
+                f" * 4294967296) % {M}::HUGEINT")
+
+    def xshift(a: str) -> str:
+        return f"xor(({a}), ({a}) >> 33)"
+
+    # splitmix64: x^=x>>33; x*=C1; x^=x>>33; x*=C2; x^=x>>33  (mod 2^64)
+    mix = xshift(mulmod(xshift(mulmod(xshift("h"), C1)), C2))
+
+    return f"""
+        WITH docs AS (
+          SELECT {id_col} AS doc_id, {text_col} AS t,
+                 length({text_col})::BIGINT AS n,
+                 LEAST({k}, length({text_col}))::BIGINT AS deg
+          FROM {table}
+          WHERE {text_col} IS NOT NULL AND length({text_col}) > 0),
+        pos AS (
+          -- scalar list range + unnest: the table function form rejects
+          -- per-row (lateral) bounds
+          SELECT doc_id, n, deg, t,
+                 unnest(range(1, n + 1))::BIGINT AS i
+          FROM docs),
+        chars AS (
+          SELECT doc_id, n, deg, i,
+                 unicode(substr(t, i::INT, 1))::HUGEINT AS c
+          FROM pos),
+        grams AS (
+          SELECT doc_id, n, deg, i, ({terms}) % {M}::HUGEINT AS h
+          FROM chars
+          WINDOW w8 AS (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND {k - 1} FOLLOWING)
+          QUALIFY i <= n - deg + 1),
+        mixed AS (
+          SELECT doc_id, n, deg, i, {mix} AS f FROM grams),
+        minima AS (
+          SELECT doc_id,
+                 min(f) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS BETWEEN CURRENT ROW
+                              AND {w - 1} FOLLOWING) AS fw
+          FROM mixed
+          QUALIFY i <= GREATEST(n - deg + 1 - {w} + 1, 1))
+        SELECT doc_id,
+               lower(lpad(to_hex(min(fw)::UBIGINT), 16, '0'))
+                   AS fingerprint,
+               count(DISTINCT fw)::BIGINT AS n_fingerprints
+        FROM minima GROUP BY doc_id
+        UNION ALL
+        SELECT {id_col} AS doc_id,
+               '0000000000000000' AS fingerprint, 1::BIGINT AS n_fingerprints
+        FROM {table}
+        WHERE {text_col} IS NULL OR length({text_col}) = 0
+    """
+
+
 class RepetitionScorer:
     """Gopher-style repetition signals per document (Rae et al. 2021's
     repetitious-text filters, adapted to the word level): the fraction of

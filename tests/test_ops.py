@@ -331,6 +331,48 @@ def test_simhash_popcount_and_banding():
             for i in range(len(blocks) - 1))
 
 
+def test_ann_recall_query_pinned(ray_session):
+    """The driver-visible ann_recall row is deterministic and at least
+    the recall measured when it was added (VERDICT r3 #8) — a regression
+    floor for the LSH/IVF scale paths on the standard test embeddings."""
+    import os
+
+    import pytest
+
+    from graphene_loader_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    got = {r["method"]: r["recall"]
+           for r in QUERIES["ann_recall"](sf).to_pylist()}
+    assert got["lsh"] >= 0.2
+    assert got["ivf"] >= 0.52
+
+
+def test_winnow_fingerprint_sql_twin():
+    """The generated DuckDB winnowing twin is byte-exact vs the engine
+    kernel across empty/null/short/long/unicode texts (VERDICT r3 #7)."""
+    import duckdb
+
+    from graphene_loader_ray.ops.textstats import (QualityScorer,
+                                                   winnow_fingerprint_sql)
+
+    texts = ["", None, "a", "ab", "abcdefg", "abcdefgh", "abcdefghi",
+             "the quick brown fox jumps over the lazy dog",
+             "á光𝄞 mixed ünïcode text with runs runs runs runs",
+             "x" * 300, " ".join(f"w{i % 13}" for i in range(200))]
+    qs = QualityScorer()
+    eng = [(i, *qs._fingerprint(t or "")) for i, t in enumerate(texts)]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    got = sorted(con.execute(winnow_fingerprint_sql("documents"))
+                 .fetchall())
+    assert got == eng
+
+
 def test_keep_first_per_key_paths(ray_session):
     """keep_first_per_key keeps exactly the min-order row per duplicated
     key and all single-row keys, identically on the broadcast path and
