@@ -151,15 +151,29 @@ def parse_insert_line(line: str, n_cols: int) -> list[list[str]]:
 
 def read_mysql_dump(path: str, table: str,
                     schema: dict[str, DumpTable] | None = None,
-                    lines_per_task: int = 8) -> Dataset:
+                    lines_per_task: int = 8,
+                    with_order: bool = False,
+                    columns: list[str] | None = None) -> Dataset:
     """Distributed scan of one dump table -> Dataset of all-STRING columns
     (the reference's row surface: every value a string, NULL literal).
 
     ``lines_per_task`` groups INSERT-line byte ranges into read tasks;
     mysqldump bounds INSERT lines to ~1 MB (net_buffer_length), so a task
-    reads ≤ lines_per_task MB and the task count grows with the dump."""
+    reads ≤ lines_per_task MB and the task count grows with the dump.
+
+    ``with_order=True`` appends ``_off`` (INSERT-line start byte) and
+    ``_row`` (tuple index within the line) int64 columns — a total order
+    over the table's rows identical to the reference's sequential read,
+    used by consumers that must reproduce last-writer-wins semantics
+    under parallel execution (pipelines/dump_graph.py).
+
+    ``columns`` renames the scanned column map positionally (the decorator
+    renames of ReactomeLoader.groovy:128-134); len must match."""
     tbl = (schema or scan_dump_schema(path))[table]
     cols, n_cols = tbl.columns, len(tbl.columns)
+    if columns is not None:
+        assert len(columns) == n_cols
+        cols = columns
     groups = [tbl.ranges[i:i + lines_per_task]
               for i in range(0, len(tbl.ranges), lines_per_task)]
     ranges_ds = rd.from_items([
@@ -169,18 +183,28 @@ def read_mysql_dump(path: str, table: str,
 
     def parse_ranges(batch: pa.Table) -> pa.Table:
         rows: list[list[str]] = []
+        offs: list[int] = []
+        rowidx: list[int] = []
         with open(path, "rb") as fh:
             for starts, ends in zip(batch["starts"].to_pylist(),
                                     batch["ends"].to_pylist()):
                 for s, e in zip(starts, ends):
                     fh.seek(s)
                     line = fh.read(e - s).decode(CHARSET)
-                    rows.extend(parse_insert_line(line, n_cols))
+                    parsed = parse_insert_line(line, n_cols)
+                    rows.extend(parsed)
+                    if with_order:
+                        offs.extend([s] * len(parsed))
+                        rowidx.extend(range(len(parsed)))
+        out_cols = list(cols) + (["_off", "_row"] if with_order else [])
         if not rows:
-            return pa.table({c: pa.array([], pa.string()) for c in cols})
+            return pa.table({c: pa.array([], pa.int64() if c in ("_off", "_row")
+                                         else pa.string()) for c in out_cols})
         arrays = [pa.array([r[i] for r in rows], pa.string())
                   for i in range(n_cols)]
-        return pa.table(dict(zip(cols, arrays)))
+        if with_order:
+            arrays += [pa.array(offs, pa.int64()), pa.array(rowidx, pa.int64())]
+        return pa.table(dict(zip(out_cols, arrays)))
 
     return ranges_ds.map_batches(parse_ranges, batch_format="pyarrow",
                                  batch_size=1)
