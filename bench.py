@@ -49,7 +49,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "text_quality", "text_repetition", "top_terms",
                "text_fingerprint",
                "knn_top10", "knn_top10_lsh",
-               "knn_top10_ivf", "user_hourly_clicks", "user_sliding_clicks",
+               "knn_top10_ivf", "ann_recall",
+               "user_hourly_clicks", "user_sliding_clicks",
                "user_sessions", "purchase_asof_click", "purchase_nearby_clicks",
                "value_quantiles_by_type", "value_quantiles_sampled",
                "dedup_minhash_groups", "decontaminate_docs",

@@ -106,11 +106,25 @@ def _winners(occ: Dataset) -> Dataset:
 
 def span_dedup(docs: Dataset, text_col: str = "text",
                id_col: str = "doc_id", broadcast_max: int = 2_000_000,
-               num_partitions: int = 16, hash_fn: str = "md5") -> Dataset:
+               num_partitions: int = 16, hash_fn: str = "md5",
+               passthrough: Dataset | None = None) -> Dataset:
     """One row per document: ``doc_id``, ``text`` (spans deduplicated
     corpus-wide, first occurrence kept, null if nothing survived),
     ``n_total`` and ``n_kept`` span counts. ``hash_fn`` — see
-    :class:`_Explode` (md5 = SQL-twin-comparable, fast = scale knob)."""
+    :class:`_Explode` (md5 = SQL-twin-comparable, fast = scale knob).
+
+    ``passthrough``: an optional per-document metadata Dataset keyed by
+    ``id_col``; its other columns are attached to the output rows by
+    riding the SAME reassembly shuffle as marker rows (idx 0 — span
+    indexes are 1-based) instead of a second doc_id-keyed join after the
+    fact. This keeps the pipeline at EXACTLY ONE full-text exchange
+    (pipelines/curate.py, VERDICT r3 #2): the metadata rows are
+    doc-count-sized, the spans would shuffle anyway. Requirements:
+    one metadata row per id (duplicates would multiply output rows),
+    ids int64-castable, column names disjoint from
+    {doc_id, idx, chunk, keep, text, n_total, n_kept}; a doc missing
+    from ``passthrough`` gets null metadata (and int64 metadata columns
+    then upcast to float64 in the pandas merge — keep it complete)."""
     import pyarrow.compute as pc
 
     import ray
@@ -196,6 +210,50 @@ def span_dedup(docs: Dataset, text_col: str = "text",
         out["doc_id"] = out["doc_id"].astype("int64")
         return out
 
-    return group_partitioned(marked.select_columns(
-        ["doc_id", "idx", "chunk", "keep"]), ["doc_id"], reassemble,
-        num_partitions=num_partitions)
+    core = marked.select_columns(["doc_id", "idx", "chunk", "keep"])
+    if passthrough is None:
+        return group_partitioned(core, ["doc_id"], reassemble,
+                                 num_partitions=num_partitions)
+
+    meta_schema = passthrough.schema()      # ray.data Schema wrapper
+    meta_types = dict(zip(meta_schema.names, meta_schema.types))
+    meta_cols = [n for n in meta_schema.names if n != id_col]
+    reserved = {"doc_id", "idx", "chunk", "keep", "text", "n_total", "n_kept"}
+    clash = reserved.intersection(meta_cols)
+    if clash:
+        raise ValueError(f"passthrough columns collide with span_dedup "
+                         f"columns: {sorted(clash)}")
+
+    def pad_spans(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in t.column_names}
+        for n in meta_cols:
+            cols[n] = pa.nulls(t.num_rows, meta_types[n])
+        return pa.table(cols)
+
+    def meta_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t[id_col], pa.int64()),
+            "idx": pa.array(np.zeros(t.num_rows, np.int64)),
+            "chunk": pa.nulls(t.num_rows, pa.string()),
+            "keep": pa.array(np.zeros(t.num_rows, bool)),
+            **{n: t[n] for n in meta_cols}})
+
+    unioned = core.map_batches(pad_spans, batch_format="pyarrow") \
+        .union(passthrough.map_batches(meta_rows, batch_format="pyarrow"))
+
+    def reassemble_meta(t: pa.Table) -> pd.DataFrame:
+        # split in ARROW first: each side is null-free in its own columns,
+        # so int64 metadata stays int64 through pandas (the equi_join
+        # splitting rule — a whole-table conversion would float-upcast
+        # null-padded ints and round values above 2^53)
+        is_meta = pc.equal(t["idx"], 0)
+        meta_df = t.filter(is_meta) \
+            .select(["doc_id", *meta_cols]).to_pandas()
+        spans = t.filter(pc.invert(is_meta)) \
+            .select(["doc_id", "idx", "chunk", "keep"]).to_pandas()
+        out = reassemble(spans)
+        return out.merge(meta_df, on="doc_id", how="left")
+
+    return group_partitioned(unioned, ["doc_id"], reassemble_meta,
+                             num_partitions=num_partitions,
+                             batch_format="pyarrow")

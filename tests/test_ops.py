@@ -1265,6 +1265,50 @@ def test_span_dedup_vs_duckdb(ray_session):
         assert sorted(got["n_kept"] - got["n_total"]) == [-1, 0], bmax
 
 
+def test_span_dedup_passthrough_equals_join(ray_session):
+    """``passthrough=`` attaches per-doc metadata by riding the reassembly
+    shuffle; the result must equal span_dedup-then-merge exactly — on both
+    resolution paths, including int64 metadata above 2^53 (the Arrow-side
+    row split must keep ints out of pandas' float upcast)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.span_dedup import span_dedup
+
+    rng = np.random.default_rng(23)
+    words = ["red", "green", "blue", "cyan", "teal"]
+    boiler = "one common span shared by many documents in this corpus yes"
+    texts = [(boiler + " " if i % 2 else "")
+             + " ".join(rng.choice(words, size=int(rng.integers(4, 30))))
+             for i in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()),
+                  "text": pa.array(texts)})
+    meta = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "host": pa.array([f"h{i % 7}" for i in range(40)]),
+        "big_id": pa.array([9007199254740993 + i for i in range(40)],
+                           pa.int64())})          # 2^53 + 1 + i
+
+    for bmax in (2_000_000, 0):
+        plain = span_dedup(rd.from_arrow(t).repartition(4),
+                           broadcast_max=bmax, num_partitions=4) \
+            .to_pandas()
+        merged = plain.merge(meta.to_pandas(), on="doc_id") \
+            .sort_values("doc_id").reset_index(drop=True)
+        fused = span_dedup(rd.from_arrow(t).repartition(4),
+                           broadcast_max=bmax, num_partitions=4,
+                           passthrough=rd.from_arrow(meta).repartition(3)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            fused[merged.columns.tolist()], merged, check_exact=True)
+        assert fused["big_id"].dtype == "int64"
+
+    # reserved-name collision fails loudly
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "n_kept": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="collide"):
+        span_dedup(rd.from_arrow(t), passthrough=rd.from_arrow(bad))
+
+
 def test_ngram_jaccard_size_paths_equal(doc_ds):
     """The broadcast size-map path (default) and the two-keyed-join
     fallback return identical pairs and scores."""
