@@ -61,7 +61,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "bloom_new_documents", "url_dedup_pages",
                "shipping_priority", "span_dedup_docs", "curate_web_pages",
                "kmeans_embeddings", "lm_perplexity",
-               "rebalanced_documents", "warc_pages", "chunked_documents",
+               "rebalanced_documents", "warc_pages", "dump_graph_nodes",
+               "dump_graph_edges", "chunked_documents",
                "packed_documents", "zscore_events", "tfidf_keywords"]
 
 

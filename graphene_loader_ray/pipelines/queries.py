@@ -945,6 +945,36 @@ def kg_misses(sf_dir: str):
     return rd.read_parquet(os.path.join(_kg_result_dir(sf_dir), "misses"))
 
 
+_DUMP_GRAPH_PATH = "/tmp/graphene_conv_dump_v1.sql"
+
+
+def _dump_graph_result() -> dict:
+    """Run (or reuse) the convention-driven dump loader over the
+    deterministic standalone convention dump (sources/synth.py:
+    write_convention_dump). Rows-only driver check: the dump is not a
+    driver view; engine-vs-oracle parity is pinned in
+    tests/test_dump_graph.py."""
+    from ..pipelines.dump_graph import load_dump_graph
+    from ..sources.synth import write_convention_dump
+
+    if not os.path.exists(_DUMP_GRAPH_PATH):
+        write_convention_dump(_DUMP_GRAPH_PATH)
+    return load_dump_graph(_DUMP_GRAPH_PATH)
+
+
+def dump_graph_nodes(sf_dir: str):
+    """M9 runtime column-role classifier surface: nodes (key, labels,
+    props) loaded from a MySQL dump with NO static manifest — table and
+    column roles inferred from name conventions alone."""
+    return _dump_graph_result()["nodes"]
+
+
+def dump_graph_edges(sf_dir: str):
+    """Edges from the same convention-driven load (multiplicity
+    preserved, rank/name-denorm props per ReactomeLoader semantics)."""
+    return _dump_graph_result()["edges"]
+
+
 def multimodal_features(sf_dir: str):
     """Real structural image decode (PNG/JPEG/GIF headers) + feature
     plumbing over the synthetic image payloads; corrupt payloads land on
@@ -1146,6 +1176,8 @@ QUERIES = {
     "warc_pages": warc_pages,
     "multimodal_audio": multimodal_audio,
     "multimodal_video_frames": multimodal_video_frames,
+    "dump_graph_nodes": dump_graph_nodes,
+    "dump_graph_edges": dump_graph_edges,
 }
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS["en"]))
@@ -1626,7 +1658,8 @@ ORACLE_SQL["text_fingerprint"] = _fp_sql("documents")
 _FLAGSHIP = ["kg_triples", "kg_nodes", "kg_mentions", "kg_misses",
              "curate_web_pages", "warc_pages", "multimodal_features",
              "multimodal_audio", "multimodal_video_frames", "ann_recall",
-             "dedup_minhash", "kmeans_embeddings"]
+             "dedup_minhash", "kmeans_embeddings",
+             "dump_graph_nodes", "dump_graph_edges"]
 _HEAD = [k for k in QUERIES if k in ORACLE_SQL] \
     + [k for k in _FLAGSHIP if k in QUERIES]
 QUERIES = {k: QUERIES[k]

@@ -691,3 +691,105 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
         shutil.rmtree(outdir, ignore_errors=True)   # clear any partial dir
         os.replace(tmp, outdir)
     return outdir
+
+
+# --------------------------------------------- convention-dump (standalone)
+
+def write_convention_dump(path: str, n_objects: int = 600) -> None:
+    """Deterministic Reactome-CONVENTION dump: a DatabaseObject star table
+    plus decorator / newnodes / relationship satellites whose roles follow
+    the reference's name conventions (ReactomeLoader.groovy:81-111) — the
+    input surface for the runtime classifier loader
+    (pipelines/dump_graph.py). Separate from the fixture dump
+    (reactome_dump.sql carries the vocab tables and predates the
+    classifier); does NOT affect fixture generation or its cache tag.
+    Pure index arithmetic — byte-identical across runs. Written atomically
+    (tmp + rename) so concurrent callers are safe."""
+    from .mysql_dump import write_mysql_dump
+
+    classes = ["Pathway", "Reaction", "Complex", "SimpleEntity",
+               "Person", "StableIdentifier", "Taxon",
+               "GO_MolecularFunction", "DatabaseIdentifier",
+               "ReferenceDatabase"]
+    nouns = ["glycolysis", "photosynthesis", "transport", "signaling",
+             "folding", "assembly", "degradation", "elongation"]
+
+    def cls_of(i: int) -> str:
+        return classes[i % len(classes)]
+
+    ids = list(range(1, n_objects + 1))
+    persons = [i for i in ids if cls_of(i) == "Person"]
+    stables = [i for i in ids if cls_of(i) == "StableIdentifier"]
+    taxa = [i for i in ids if cls_of(i) == "Taxon"]
+    refdbs = [i for i in ids if cls_of(i) == "ReferenceDatabase"]
+
+    def s(v) -> str | None:
+        return None if v is None else str(v)
+
+    obj_rows = []
+    for i in ids:
+        created = persons[i % len(persons)] if i % 3 == 0 else None
+        stable = stables[i % len(stables)] if i % 4 == 0 else None
+        obj_rows.append((str(i), f"{nouns[i % 8]} object {i}", cls_of(i),
+                         s(created), s(stable)))
+    tables = {
+        "DatabaseObject": pa.table({
+            c: pa.array([r[j] for r in obj_rows], pa.string())
+            for j, c in enumerate(["DB_ID", "_displayName", "_class",
+                                   "created", "stableIdentifier"])}),
+        # decorator: m:1 species rel + digit-promoted scalar prop
+        "Pathway": pa.table({
+            "DB_ID": pa.array([str(i) for i in ids if cls_of(i) == "Pathway"]),
+            "hasDiagram": pa.array([str(i % 2) for i in ids
+                                    if cls_of(i) == "Pathway"]),
+            "species": pa.array([str(taxa[i % len(taxa)]) for i in ids
+                                 if cls_of(i) == "Pathway"]),
+            "species_class": pa.array(["Taxon" for i in ids
+                                       if cls_of(i) == "Pathway"])}),
+        # decorator with the GO accession rename + registry zero-strip
+        "GO_MolecularFunction": pa.table({
+            "DB_ID": pa.array([str(i) for i in ids
+                               if cls_of(i) == "GO_MolecularFunction"]),
+            "accession": pa.array([f"{(i * 7) % 100000:07d}" for i in ids
+                                   if cls_of(i) == "GO_MolecularFunction"]),
+            "definition": pa.array([f"function {i}" for i in ids
+                                    if cls_of(i) == "GO_MolecularFunction"])}),
+        # decorator with the identifier->name rename + m:1 refdb rel
+        "DatabaseIdentifier": pa.table({
+            "DB_ID": pa.array([str(i) for i in ids
+                               if cls_of(i) == "DatabaseIdentifier"]),
+            "identifier": pa.array([f"XID:{i:06d}" for i in ids
+                                    if cls_of(i) == "DatabaseIdentifier"]),
+            "referenceDatabase": pa.array(
+                [str(refdbs[i % len(refdbs)]) for i in ids
+                 if cls_of(i) == "DatabaseIdentifier"]),
+            "referenceDatabase_class": pa.array(
+                ["ReferenceDatabase" for i in ids
+                 if cls_of(i) == "DatabaseIdentifier"])}),
+        # newnodes: minted (Name, value) nodes, raw-string ranks
+        "Complex_2_name": pa.table({
+            "DB_ID": pa.array([str(i) for i in ids
+                               if cls_of(i) == "Complex" for _ in (0, 1)]),
+            "name": pa.array([f"{nouns[(i + k) % 8]} complex alias {i % 97}"
+                              for i in ids if cls_of(i) == "Complex"
+                              for k in (0, 1)]),
+            "name_rank": pa.array([str(k) for i in ids
+                                   if cls_of(i) == "Complex"
+                                   for k in (0, 1)])}),
+        # relationships: m:m with int ranks
+        "Pathway_2_hasEvent": pa.table({
+            "DB_ID": pa.array([str(i) for i in ids
+                               if cls_of(i) == "Pathway" for _ in (0, 1)]),
+            "hasEvent": pa.array([str(1 + ((i * 11 + k) % n_objects))
+                                  for i in ids if cls_of(i) == "Pathway"
+                                  for k in (0, 1)]),
+            "hasEvent_class": pa.array(["Reaction" for i in ids
+                                        if cls_of(i) == "Pathway"
+                                        for k in (0, 1)]),
+            "hasEvent_rank": pa.array([str(k) for i in ids
+                                       if cls_of(i) == "Pathway"
+                                       for k in (0, 1)])}),
+    }
+    tmp = f"{path}.tmp{os.getpid()}"
+    write_mysql_dump(tables, tmp)
+    os.replace(tmp, path)
