@@ -121,20 +121,27 @@ def run_default() -> None:
     for name in QUERY_NAMES:
         t0 = time.time()
         _consume(QUERIES[name](SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.time() - t0, 2)
 
-    print(json.dumps({
+    # counters on their own line: the driver keeps only the last ~2000
+    # stdout chars and parses the FINAL line as the bench JSON — a single
+    # line carrying counters + 60 query timings overflows that window
+    # (BENCH_r03.json came back "parsed": null for exactly this reason),
+    # so the final line is kept compact and everything auxiliary precedes it.
+    print(json.dumps({"counters": res["counters"]}, separators=(",", ":")))
+    line = json.dumps({
         "metric": ("sec end-to-end KG pipeline "
-                   "(extract→link→canonicalize→materialize), synthetic "
-                   f"corpus of {n_pages} pages"),
+                   "(extract→link→canonicalize→materialize), "
+                   f"{n_pages} synthetic pages"),
         "value": round(headline, 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_tag(),
         "num_cpus": NCPU,
         "docs_per_sec": round(docs_s, 1),
-        "counters": res["counters"],
-    }))
+    }, separators=(",", ":"))
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
+    print(line)
     ray.shutdown()
 
 
