@@ -51,6 +51,14 @@ def _stable64(s: str) -> int:
         hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+def _stable64_md5(s: str) -> int:
+    """First 8 md5 bytes, big-endian — bit-identical to DuckDB's
+    ``CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT)``, which is what
+    lets :func:`simhash_sql` generate an EXACT twin. Same cost profile as
+    the blake2b default (one digest per new word, then cached)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 class ShingleHasher:
     """Word n-gram shingles as stable 64-bit hashes, numpy-vectorized.
 
@@ -69,11 +77,15 @@ class ShingleHasher:
     # correctness is unaffected (hashes are pure recomputations).
     MAX_CACHE = 1_000_000
 
-    def __init__(self, n: int = 3, ascii_words: bool = False) -> None:
+    def __init__(self, n: int = 3, ascii_words: bool = False,
+                 hash_name: str = "blake2b") -> None:
         self.n = n
         # ascii_words: tokenize with ASCII \w (DuckDB RE2 parity — the
         # exact-Jaccard path); default keeps the minhash tokenizer
         self._re = _WORD_RE_ASCII if ascii_words else _WORD_RE
+        # hash_name="md5": DuckDB-computable word hashes (simhash SQL
+        # twin); default keeps blake2b for every existing signature path
+        self._hash = _stable64_md5 if hash_name == "md5" else _stable64
         self._word_cache: dict[str, int] = {}
 
     def word_hashes(self, text: str) -> np.ndarray:
@@ -85,7 +97,7 @@ class ShingleHasher:
         for i, w in enumerate(words):
             h = cache.get(w)
             if h is None:
-                h = cache[w] = _stable64(w)
+                h = cache[w] = self._hash(w)
             out[i] = h
         return out
 
@@ -839,8 +851,14 @@ class SimHasher:
     words whose 64-bit hashes collide fold into one row with summed
     counts, which is arithmetically identical to the per-word loop."""
 
-    def __init__(self, text_col: str = "text", id_col: str = "doc_id") -> None:
-        self.hasher = ShingleHasher(1)         # word-hash cache only
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 sql_parity: bool = False) -> None:
+        # sql_parity: ASCII \w tokens + md5-prefix word hashes so that
+        # simhash_sql() is an EXACT DuckDB twin (the ops/dedup.py:665
+        # exact-Jaccard precedent). Default keeps the unicode tokenizer +
+        # blake2b — the production near-dup path is unchanged.
+        self.hasher = (ShingleHasher(1, ascii_words=True, hash_name="md5")
+                       if sql_parity else ShingleHasher(1))
         self.shifts = np.arange(64, dtype=np.uint64)
         self.text_col, self.id_col = text_col, id_col
 
@@ -869,6 +887,44 @@ class SimHasher:
 def simhash_signatures(docs: Dataset, **kw) -> Dataset:
     return docs.map_batches(SimHasher, fn_constructor_kwargs=kw,
                             batch_format="pyarrow", concurrency=(1, 8))
+
+
+def simhash_sql(table: str, text_col: str = "text",
+                id_col: str = "doc_id") -> str:
+    """Generated DuckDB twin of ``SimHasher(sql_parity=True)``: same
+    tokenizer (RE2 ASCII ``\\w+`` over ``lower(text)``), same word hash
+    (first 8 md5 bytes as UBIGINT), same arithmetic (per-bit sum of
+    ±term-frequency, bit set iff the sum is strictly positive). Tokenless
+    docs pack to 0 via the left join. The signature is emitted as a
+    0-padded 16-char hex STRING: the left join makes the UBIGINT column
+    nullable and duckdb's fetchdf converts nullable ints to float64,
+    which ROUNDS above 2^53 (the BASELINE.md int64 hazard) — the query
+    side mirrors with ``format(x, '016x')``."""
+    return f"""
+        WITH toks AS (
+          SELECT {id_col} AS doc_id,
+                 unnest(regexp_extract_all(lower({text_col}), '\\w+')) AS w
+          FROM {table}),
+        wh AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM toks GROUP BY doc_id, w),
+        acc AS (
+          SELECT doc_id, b.i,
+                 sum(CASE WHEN (h >> b.i) & 1 = 1 THEN c ELSE -c END) AS s
+          FROM wh CROSS JOIN (SELECT unnest(range(64)) AS i) b
+          GROUP BY doc_id, b.i),
+        packed AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << i
+                             ELSE CAST(0 AS UBIGINT) END) AS simhash
+          FROM acc GROUP BY doc_id)
+        SELECT d.{id_col} AS doc_id,
+               lower(lpad(hex(coalesce(p.simhash, CAST(0 AS UBIGINT))),
+                          16, '0')) AS simhash
+        FROM {table} d LEFT JOIN packed p ON p.doc_id = d.{id_col}
+    """
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:

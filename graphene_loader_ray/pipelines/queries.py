@@ -784,8 +784,22 @@ def decontaminate_docs(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
-    return simhash_signatures(_read(sf_dir, "documents",
-                                    columns=["doc_id", "text"]))
+    """64-bit SimHash signatures over the documents view. sql_parity
+    swaps the word-hash primitive to the DuckDB-computable md5 prefix so
+    the generated twin (ops/dedup.py:simhash_sql) hash-compares the FULL
+    signature arithmetic; the production near-dup path keeps blake2b.
+    Signatures go out as 16-char hex strings — uint64 survives neither
+    pandas nullability nor float64 (rounds above 2^53)."""
+    sigs = simhash_signatures(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]),
+                              sql_parity=True)
+
+    def to_hex(t: pa.Table) -> pa.Table:
+        hx = [format(x, "016x") for x in t["simhash"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(hx, pa.string())})
+
+    return sigs.map_batches(to_hex, batch_format="pyarrow")
 
 
 def dedup_embedding(sf_dir: str):
@@ -1602,12 +1616,13 @@ ORACLE_SQL = {
           FROM q CROSS JOIN e)
         SELECT query_id, vec_id, score FROM scored WHERE rn <= 10
     """,
-    # dedup_minhash, dedup_simhash, dedup_embedding, knn_top10_lsh/_ivf
-    # (recall<1 by design), kg_*, multimodal_features: not SQL-expressible
-    # (sketches, LSH, model-ish scoring, full KG pipeline) -> rows-only
-    # driver check; correctness carried by pytest vs oracle / brute-force
-    # references. text_fingerprint's winnowing twin IS generated — see
-    # the ORACLE_SQL additions below this dict.
+    # dedup_minhash, dedup_embedding, knn_top10_lsh/_ivf (recall<1 by
+    # design), kg_*, multimodal_features: not SQL-expressible (sketches,
+    # LSH, model-ish scoring, full KG pipeline) -> rows-only driver
+    # check; correctness carried by pytest vs oracle / brute-force
+    # references. text_fingerprint's winnowing twin and dedup_simhash's
+    # signature twin ARE generated — see the ORACLE_SQL additions below
+    # this dict.
 }
 
 # generated twin (same rule list as the engine — see ops/scrub.py)
@@ -1645,6 +1660,12 @@ ORACLE_SQL["tfidf_keywords"] = _tfidf_sql("documents", k=3)
 from ..ops.textstats import winnow_fingerprint_sql as _fp_sql  # noqa: E402
 
 ORACLE_SQL["text_fingerprint"] = _fp_sql("documents")
+
+# generated from the identical signature arithmetic (ops/dedup.py);
+# dedup_simhash runs with sql_parity=True so the twin is exact
+from ..ops.dedup import simhash_sql as _simhash_sql  # noqa: E402
+
+ORACLE_SQL["dedup_simhash"] = _simhash_sql("documents")
 
 
 # --------------------------------------------------------------- ordering

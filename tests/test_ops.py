@@ -422,6 +422,39 @@ def test_simhash_truncation_reported(ray_session):
     assert all(a < 4 and b < 4 for a, b in got)   # only the 4 least ids
 
 
+def test_simhash_sql_twin(ray_session):
+    """SimHasher(sql_parity=True) is bit-identical to the generated
+    DuckDB twin (md5-prefix word hashes, ASCII \\w tokens) on real docs
+    plus planted edge cases: empty text, tokenless punctuation, repeated
+    words, case folding, underscores/digits, and unicode words that the
+    ASCII tokenizer drops on BOTH sides."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from graphene_loader_ray.ops.dedup import SimHasher, simhash_sql
+
+    real = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    planted = pa.table({
+        "doc_id": pa.array([9001, 9002, 9003, 9004, 9005], pa.int64()),
+        "text": pa.array(["", "?! ... --", "the the THE tHe",
+                          "under_score 123 a1_b2 0007",
+                          "Üñïçødé wörds 光合作用 plain words"],
+                         pa.string())})
+    docs = pa.concat_tables([real, planted])
+    sh = SimHasher(sql_parity=True)
+    eng = {d: format(sh.simhash(x or ""), "016x")
+           for d, x in zip(docs["doc_id"].to_pylist(),
+                           docs["text"].to_pylist())}
+    con = duckdb.connect()
+    con.register("documents", docs)
+    gold = dict(con.execute(simhash_sql("documents")).fetchall())
+    assert eng == gold
+    # parity mode leaves the production (blake2b) signatures alone
+    assert SimHasher().simhash("the quick fox") != \
+        sh.simhash("the quick fox")
+
+
 def test_embedding_neardup(ray_session):
     import ray.data as rd
 
