@@ -33,12 +33,26 @@ def _stable_hash64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
         dtype=np.uint64)
 
 
+def _md5_hash64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """DuckDB-computable uint64 hash: first 8 md5 bytes of ``str(value)``,
+    matching ``CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16)) AS
+    UBIGINT)`` for int/string columns (the simhash_sql parity recipe).
+    Nulls are skipped on both sides. Parity mode only — the default
+    pandas hash is ~100x faster per value."""
+    import hashlib
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+         for v in values.to_pylist() if v is not None),
+        dtype=np.uint64)
+
+
 # ------------------------------------------------------------------- HLL
 
-def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
+def _hll_partial(batch: pa.Table, col: str, p: int,
+                 hash_name: str = "pandas") -> pa.Table:
     """One batch -> its 2^p register maxima, emitted sparse (register,
     rho) — at most min(batch, 2^p) rows enter the merge."""
-    h = _stable_hash64(batch[col])
+    h = (_md5_hash64 if hash_name == "md5" else _stable_hash64)(batch[col])
     m = np.uint64(1) << np.uint64(p)
     reg = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
@@ -60,16 +74,26 @@ def _hll_partial(batch: pa.Table, col: str, p: int) -> pa.Table:
                      "rho": pa.array(best["rho"], pa.int64())})
 
 
-def hll_distinct(ds: Dataset, col: str, p: int = 12) -> dict:
+def hll_distinct(ds: Dataset, col: str, p: int = 12,
+                 hash_name: str = "pandas") -> dict:
     """Approximate distinct count of ``ds[col]``.
 
     map_batches partials (sparse register maxima) → ONE groupby(register)
     max → driver estimate from 2^p rows. Returns
-    {"estimate": float, "p": p, "registers_used": int}."""
+    {"estimate": float, "p": p, "registers_used": int}.
+
+    The estimate is EXACTLY reproducible (and with hash_name="md5"
+    exactly matched by the generated :func:`hll_sql` DuckDB twin): the
+    register sum is the exact integer Σ 2^(64-rho) — float summation
+    order can round differently between numpy and a SQL engine — and the
+    log corrections go through libm's ``math.log`` (numpy's SIMD log can
+    differ from libm in the last ulp)."""
+    import math
+
     from ray.data.aggregate import Max
 
     partials = ds.map_batches(
-        lambda t, c=col, pp=p: _hll_partial(t, c, pp),
+        lambda t, c=col, pp=p, hn=hash_name: _hll_partial(t, c, pp, hn),
         batch_format="pyarrow", batch_size=65536)
     merged = partials.groupby("register") \
         .aggregate(Max("rho", alias_name="rho")).take_all()
@@ -79,15 +103,66 @@ def hll_distinct(ds: Dataset, col: str, p: int = 12) -> dict:
     for r in merged:
         regs[r["register"]] = r["rho"]
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    raw = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    # exact integer register sum: Σ 2^(64-rho), rho=0 contributing 2^64
+    s_int = sum(1 << (64 - int(r)) for r in regs)
+    raw = alpha * m * m * 2.0 ** 64 / float(s_int)
     zeros = int(np.count_nonzero(regs == 0))
     if raw <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)              # linear counting
+        est = m * math.log(m / zeros)            # linear counting
     elif raw > (1 << 64) / 30.0:
-        est = -(1 << 64) * np.log1p(-raw / (1 << 64))
+        est = -(1 << 64) * math.log1p(-raw / (1 << 64))
     else:
         est = raw
     return {"estimate": float(est), "p": p, "registers_used": m - zeros}
+
+
+def hll_sql(table: str, col: str, p: int = 12) -> str:
+    """Generated DuckDB twin of ``hll_distinct(..., hash_name="md5")``:
+    same md5-prefix value hash, same register/rho bit arithmetic (the
+    wrap-around ``h << p`` becomes mask-then-shift — DuckDB shifts error
+    on overflow), the same exact-integer register sum (HUGEINT), and the
+    same IEEE expression shapes so every float rounds identically. Emits
+    one row ``floor(est + 0.5)`` exactly like the engine query."""
+    m = 1 << p
+    two64 = "(CAST(1 AS HUGEINT) << 64)"
+    alpha = f"(0.7213 / (1.0 + 1.079 / {m}))"
+    return f"""
+        WITH h AS (
+          SELECT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16))
+                      AS UBIGINT) AS hv
+          FROM {table} WHERE {col} IS NOT NULL),
+        rr AS (
+          -- the masked shift runs in HUGEINT: DuckDB's UBIGINT << checks
+          -- overflow against 2^63, rejecting in-range uint64 results
+          SELECT CAST(hv >> {64 - p} AS BIGINT) AS register,
+                 CAST(65 - length(bin(CAST(
+                     ((CAST(hv & ((CAST(1 AS UBIGINT) << {64 - p}) - 1)
+                           AS HUGEINT) << {p})
+                      | {2 ** (p - 1)}) AS UBIGINT)))
+                      AS BIGINT) AS rho
+          FROM h),
+        regs AS (SELECT register, max(rho) AS rho FROM rr GROUP BY register),
+        st AS (
+          SELECT coalesce(sum(CAST(1 AS HUGEINT) << (64 - rho)),
+                          CAST(0 AS HUGEINT)) AS s_present,
+                 count(*) AS n_present
+          FROM regs),
+        fin AS (
+          SELECT {alpha} * {m} * {m} * CAST({two64} AS DOUBLE)
+                 / CAST(s_present + ({m} - n_present) * {two64} AS DOUBLE)
+                   AS raw,
+                 {m} - n_present AS zeros
+          FROM st)
+        SELECT CAST(floor(
+                 CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+                      THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                      WHEN raw > CAST({two64} AS DOUBLE) / 30.0
+                      THEN -CAST({two64} AS DOUBLE)
+                           * ln(1.0 - raw / CAST({two64} AS DOUBLE))
+                      ELSE raw END + 0.5) AS BIGINT)
+               AS approx_distinct_users
+        FROM fin
+    """
 
 
 # -------------------------------------------------------------- Count-Min

@@ -73,6 +73,34 @@ def test_hll_distinct_accuracy_and_partition_invariance(ray_session):
     assert est2["estimate"] == est["estimate"]
 
 
+def test_hll_sql_twin(ray_session):
+    """hll_distinct(hash_name="md5") is value-identical to the generated
+    DuckDB twin in BOTH estimator branches — linear counting (few
+    distinct) and the raw HLL path (distinct >> 2.5m at p=6) — including
+    null skipping and string vs int key columns."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import hll_distinct, hll_sql
+
+    con = duckdb.connect()
+    # branch 1: ints with nulls, few distinct -> linear counting
+    small = pa.table({"user_id": pa.array(
+        [i % 97 for i in range(4000)] + [None, None], pa.int64())})
+    # branch 2: many distinct strings at p=6 (m=64, 2.5m=160) -> raw path
+    big = pa.table({"user_id": pa.array(
+        [f"u-{i}" for i in range(3000)], pa.string())})
+    for name, tbl, p in [("small", small, 12), ("big", big, 6)]:
+        est = hll_distinct(rd.from_arrow(tbl), "user_id", p=p,
+                           hash_name="md5")["estimate"]
+        con.register(name, tbl)
+        gold = con.execute(hll_sql(name, "user_id", p=p)).fetchone()[0]
+        import math
+        assert int(math.floor(est + 0.5)) == gold, (name, est, gold)
+    assert abs(hll_distinct(rd.from_arrow(small), "user_id",
+                            hash_name="md5")["estimate"] - 97) < 5
+
+
 def test_count_min_bounds(ray_session):
     import ray.data as rd
 
