@@ -282,16 +282,18 @@ class BloomFilter:
 
 
 def bloom_build(ds: Dataset, col: str, n_bits: int = 1 << 20,
-                k: int = 7) -> BloomFilter:
+                k: int = 7, hash_name: str = "pandas") -> BloomFilter:
     """Distributed build: one fixed-size packed-bit partial per batch,
     OR-merged on the driver — filter-sized shuffle only (m/8 bytes per
     batch), never rows. The result is broadcastable via ``ray.put`` for
     shuffle-free membership tests (incremental dedup: drop documents
     already ingested by a previous run)."""
 
+    hash_fn = _md5_hash64 if hash_name == "md5" else _stable_hash64
+
     def partial(batch: pa.Table) -> pa.Table:
         b = BloomFilter(n_bits, k)
-        b.add_hashes(_stable_hash64(batch[col]))
+        b.add_hashes(hash_fn(batch[col]))
         return pa.table({"words": pa.FixedSizeListArray.from_arrays(
             pa.array(b.words.view(np.int64), pa.int64()), n_bits // 64)})
 
@@ -306,8 +308,8 @@ def bloom_build(ds: Dataset, col: str, n_bits: int = 1 << 20,
     return out
 
 
-def bloom_filter_absent(ds: Dataset, col: str,
-                        bloom: BloomFilter) -> Dataset:
+def bloom_filter_absent(ds: Dataset, col: str, bloom: BloomFilter,
+                        hash_name: str = "pandas") -> Dataset:
     """Keep only rows whose ``col`` is DEFINITELY not in ``bloom`` (the
     'new documents' side of an incremental-ingest dedup). One ray.put of
     the filter, a pure vectorized map per batch — no shuffle. Rows the
@@ -316,11 +318,68 @@ def bloom_filter_absent(ds: Dataset, col: str,
     import ray
 
     handle = ray.put(bloom)
+    hash_fn = _md5_hash64 if hash_name == "md5" else _stable_hash64
 
     def keep_new(t: pa.Table) -> pa.Table:
         bf = ray.get(handle)           # zero-copy words array from store
-        return t.filter(pa.array(~bf.contains_hashes(
-            _stable_hash64(t[col]))))
+        return t.filter(pa.array(~bf.contains_hashes(hash_fn(t[col]))))
 
     return ds.map_batches(keep_new, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def _mul64_sql(expr: str, c: int) -> str:
+    """SQL for ``(expr * c) mod 2^64`` (numpy's wrapping uint64 multiply):
+    32-bit split so every HUGEINT intermediate stays below 2^97 — a plain
+    64x64 product overflows int128 and DuckDB UBIGINT ``*`` errors."""
+    return (f"CAST(((CAST({c} AS HUGEINT)"
+            f" * CAST(({expr}) & 4294967295 AS HUGEINT))"
+            f" + (((CAST({c} AS HUGEINT)"
+            f" * CAST(({expr}) >> 32 AS HUGEINT)) % 4294967296)"
+            f" * 4294967296)) % 18446744073709551616 AS UBIGINT)")
+
+
+def bloom_absent_sql(table: str, col: str, id_col: str,
+                     seen_pred: str, out_cols: list[str],
+                     n_bits: int = 1 << 20, k: int = 7) -> str:
+    """Generated DuckDB twin of ``bloom_build(hash_name="md5") +
+    bloom_filter_absent``: same md5-prefix value hash, the splitmix64
+    finalizer reproduced with wrap-exact split multiplies
+    (:func:`_mul64_sql`), the same k double-hash probe positions
+    (``(h1 + j*h2) mod 2^64 mod n_bits``), and the same keep rule — a row
+    survives iff at least one of its probe bits was never set by any row
+    matching ``seen_pred``. Exact INCLUDING false positives: the FP set
+    is a deterministic function of the hash, so the twin reproduces it
+    bit-for-bit rather than bounding it."""
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    golden = 0x9E3779B97F4A7C15
+    m = 18446744073709551616    # staged CTEs keep the expression shallow
+    return f"""
+        WITH hv AS (
+          SELECT {id_col} AS _id, ({seen_pred}) AS _seen,
+                 CAST(('0x' || substr(md5({col}), 1, 16)) AS UBIGINT) AS h
+          FROM {table} WHERE {col} IS NOT NULL),
+        s1 AS (SELECT _id, _seen,
+                      xor(h, h >> 33) AS a,
+                      xor(xor(h, CAST({golden} AS UBIGINT)),
+                          xor(h, CAST({golden} AS UBIGINT)) >> 33) AS b
+               FROM hv),
+        s2 AS (SELECT _id, _seen, {_mul64_sql('a', c1)} AS a,
+                      {_mul64_sql('b', c1)} AS b FROM s1),
+        s3 AS (SELECT _id, _seen, xor(a, a >> 33) AS a,
+                      xor(b, b >> 33) AS b FROM s2),
+        s4 AS (SELECT _id, _seen, {_mul64_sql('a', c2)} AS a,
+                      {_mul64_sql('b', c2)} AS b FROM s3),
+        hs AS (SELECT _id, _seen, xor(a, a >> 33) AS h1,
+                      xor(b, b >> 33) | CAST(1 AS UBIGINT) AS h2 FROM s4),
+        pos AS (
+          SELECT _id, _seen,
+                 CAST((CAST(h1 AS HUGEINT) + j.j * CAST(h2 AS HUGEINT))
+                      % {m} % {n_bits} AS BIGINT) AS p
+          FROM hs CROSS JOIN (SELECT unnest(range({k})) AS j) j),
+        new_ids AS (
+          SELECT DISTINCT _id FROM pos
+          WHERE p NOT IN (SELECT p FROM pos WHERE _seen))
+        SELECT {', '.join('d.' + c for c in out_cols)}
+        FROM {table} d JOIN new_ids ON new_ids._id = d.{id_col}
+    """

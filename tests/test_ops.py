@@ -101,6 +101,43 @@ def test_hll_sql_twin(ray_session):
                             hash_name="md5")["estimate"] - 97) < 5
 
 
+def test_bloom_sql_twin(ray_session):
+    """The distributed bloom build+filter in md5-parity mode keeps the
+    EXACT row set of the generated DuckDB twin — false positives
+    included: both sides compute the same splitmix64 double-hash probe
+    positions, so the FP set is a deterministic function of the data. A
+    dense filter (tiny n_bits) forces real FPs so the equality is
+    non-vacuous."""
+    import duckdb
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import (bloom_absent_sql,
+                                                bloom_build,
+                                                bloom_filter_absent)
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "text": pa.array([f"document body {i}" for i in range(400)],
+                         pa.string()),
+        "lang": pa.array(["en"] * 400, pa.string())})
+    ds = rd.from_arrow(tbl).repartition(5)
+    seen = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+    n_bits, k = 512, 4               # dense: ~odd docs hit FPs for sure
+    bloom = bloom_build(seen, "text", n_bits=n_bits, k=k,
+                        hash_name="md5")
+    kept = bloom_filter_absent(ds, "text", bloom, hash_name="md5") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    gold = con.execute(bloom_absent_sql(
+        "documents", "text", "doc_id", "doc_id % 2 = 0",
+        ["doc_id", "text", "lang"], n_bits=n_bits, k=k)).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(kept, gold)
+    assert 0 < len(kept) < 200       # some FPs dropped, none kept wrongly
+    assert (kept["doc_id"] % 2 == 1).all()
+
+
 def test_count_min_bounds(ray_session):
     import ray.data as rd
 
