@@ -100,9 +100,15 @@ def find_props(cols, rships=()) -> list[str]:
 
 
 def camel_to_constant(camel: str) -> str:
-    """ReactomeLoader.groovy:284-287 — ``hasEvent`` -> ``HAS_EVENT``;
-    mirrors Java split semantics (leading capital keeps the empty lead
-    field, so ``Species`` -> ``_SPECIES``)."""
+    """ReactomeLoader.groovy:284-287 — ``hasEvent`` -> ``HAS_EVENT``.
+
+    Leading-capital inputs keep the empty lead field (``Species`` ->
+    ``_SPECIES``) — that is Java ≤7 ``String.split`` semantics; Java 8+
+    drops the zero-width leading match (``SPECIES``), so this quirk is
+    JDK-version-dependent in the reference itself. We pin the Java-7
+    behavior (engine and oracle share this function, so parity is
+    unaffected either way; convention column names start lowercase, so
+    the branch is unreachable for real dump columns)."""
     return "_".join(re.split(r"(?=[A-Z])", camel)).upper()
 
 

@@ -29,9 +29,17 @@ def stable_hash63(values) -> "np.ndarray":
     matters twice: uint64 above 2^63 trips Ray's pandas→arrow int
     inference, and span_dedup's winner-key encoding relies on these ids.
     Shared by curate doc ids and span_dedup's fast span hash — the two
-    MUST stay bit-identical (span winners are curate doc-id ordered)."""
-    import numpy as np
+    MUST stay bit-identical (span winners are curate doc-id ordered).
 
+    Accepts pa.Array / pa.ChunkedArray / numpy / pandas / list input —
+    Arrow callers pass their column directly (no per-stage ``.to_pandas``
+    detour); the one object-dtype conversion the pandas hash requires
+    happens here, and the hash value is identical for all input kinds."""
+    import numpy as np
+    import pyarrow as _pa
+
+    if isinstance(values, (_pa.Array, _pa.ChunkedArray)):
+        values = values.to_pandas()
     h = pd.util.hash_pandas_object(
         pd.Series(values, dtype=object), index=False).to_numpy()
     return (h >> 1).astype(np.int64)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -37,7 +38,10 @@ def _md5_hash64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """DuckDB-computable uint64 hash: first 8 md5 bytes of ``str(value)``,
     matching ``CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 16)) AS
     UBIGINT)`` for int/string columns (the simhash_sql parity recipe).
-    Nulls are skipped on both sides. Parity mode only — the default
+    NULLS ARE DROPPED: the output has one hash per VALID value, so it can
+    be shorter than the input — callers that build row masks must realign
+    via ``pc.is_valid`` (bloom_filter_absent does; the SQL twins exclude
+    nulls with ``WHERE col IS NOT NULL``). Parity mode only — the default
     pandas hash is ~100x faster per value."""
     import hashlib
     return np.fromiter(
@@ -314,7 +318,10 @@ def bloom_filter_absent(ds: Dataset, col: str, bloom: BloomFilter,
     'new documents' side of an incremental-ingest dedup). One ray.put of
     the filter, a pure vectorized map per batch — no shuffle. Rows the
     filter false-positives on (≈ fpp) are dropped with the dups; no
-    already-seen row ever survives."""
+    already-seen row ever survives. Null ``col`` rows are dropped in md5
+    mode (matching the SQL twin's ``WHERE col IS NOT NULL``) — the
+    _md5_hash64 output is valid-rows-only, so the mask realigns through
+    ``pc.is_valid`` instead of crashing on a length mismatch."""
     import ray
 
     handle = ray.put(bloom)
@@ -322,7 +329,14 @@ def bloom_filter_absent(ds: Dataset, col: str, bloom: BloomFilter,
 
     def keep_new(t: pa.Table) -> pa.Table:
         bf = ray.get(handle)           # zero-copy words array from store
-        return t.filter(pa.array(~bf.contains_hashes(hash_fn(t[col]))))
+        arr = t[col]
+        if hash_name == "md5" and arr.null_count:
+            valid = pc.is_valid(arr).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            mask = np.zeros(t.num_rows, dtype=bool)
+            mask[valid] = ~bf.contains_hashes(hash_fn(arr))
+            return t.filter(pa.array(mask))
+        return t.filter(pa.array(~bf.contains_hashes(hash_fn(arr))))
 
     return ds.map_batches(keep_new, batch_format="pyarrow",
                           batch_size=65536)

@@ -967,6 +967,7 @@ def kg_misses(sf_dir: str):
 
 
 _DUMP_GRAPH_PATH = "/tmp/graphene_conv_dump_v1.sql"
+_DUMP_GRAPH_CACHE: dict[str, dict] = {}
 
 
 def _dump_graph_result() -> dict:
@@ -974,13 +975,25 @@ def _dump_graph_result() -> dict:
     deterministic standalone convention dump (sources/synth.py:
     write_convention_dump). Rows-only driver check: the dump is not a
     driver view; engine-vs-oracle parity is pinned in
-    tests/test_dump_graph.py."""
+    tests/test_dump_graph.py. Memoized per dump path (like
+    _kg_result_dir's on-disk reuse) so dump_graph_nodes and
+    dump_graph_edges share ONE load instead of re-running the schema
+    scan + phase-1 collect + shuffle each."""
     from ..pipelines.dump_graph import load_dump_graph
     from ..sources.synth import write_convention_dump
 
+    cached = _DUMP_GRAPH_CACHE.get(_DUMP_GRAPH_PATH)
+    if cached is not None:
+        return cached
     if not os.path.exists(_DUMP_GRAPH_PATH):
         write_convention_dump(_DUMP_GRAPH_PATH)
-    return load_dump_graph(_DUMP_GRAPH_PATH)
+    res = load_dump_graph(_DUMP_GRAPH_PATH)
+    # materialize before caching: the datasets outlive this call and must
+    # not re-trigger the load lazily after the cache hit
+    res = {k: (v.materialize() if isinstance(v, rd.Dataset) else v)
+           for k, v in res.items()}
+    _DUMP_GRAPH_CACHE[_DUMP_GRAPH_PATH] = res
+    return res
 
 
 def dump_graph_nodes(sf_dir: str):

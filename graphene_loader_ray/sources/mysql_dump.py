@@ -172,7 +172,10 @@ def read_mysql_dump(path: str, table: str,
     tbl = (schema or scan_dump_schema(path))[table]
     cols, n_cols = tbl.columns, len(tbl.columns)
     if columns is not None:
-        assert len(columns) == n_cols
+        if len(columns) != n_cols:      # loud under -O too (not an assert)
+            raise ValueError(
+                f"columns rename for {table!r} has {len(columns)} names "
+                f"but the dump declares {n_cols} columns")
         cols = columns
     groups = [tbl.ranges[i:i + lines_per_task]
               for i in range(0, len(tbl.ranges), lines_per_task)]

@@ -1218,6 +1218,25 @@ def test_bloom_filter_properties(ray_session):
     assert merged.contains_hashes(_stable_hash64(absent)).all()
 
 
+def test_bloom_filter_absent_md5_nulls(ray_session):
+    """md5 mode with a nullable column: null rows drop (the SQL twin's
+    WHERE col IS NOT NULL) instead of crashing on a hash/mask length
+    mismatch (_md5_hash64 hashes valid rows only — ADVICE r4 #1)."""
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.sketch import (bloom_build,
+                                                bloom_filter_absent)
+
+    seen = pa.table({"key": pa.array([f"doc-{i}" for i in range(100)])})
+    bf = bloom_build(rd.from_arrow(seen), "key", n_bits=1 << 14, k=7,
+                     hash_name="md5")
+    mixed = pa.table({"key": pa.array(
+        ["doc-1", None, "new-a", None, "doc-2", "new-b"])})
+    out = bloom_filter_absent(rd.from_arrow(mixed).repartition(2), "key",
+                              bf, hash_name="md5").to_pandas()
+    assert sorted(out["key"]) == ["new-a", "new-b"]
+
+
 def test_canonicalize_urls_pinned():
     """Every canonicalization rule on literal fixtures: fragment strip,
     scheme/host lowercase (path case preserved), default-port strip
