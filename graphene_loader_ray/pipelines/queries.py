@@ -1010,17 +1010,22 @@ def dump_graph_edges(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Real structural image decode (PNG/JPEG/GIF headers) + feature
-    plumbing over the synthetic image payloads; corrupt payloads land on
-    the quarantine path (ok=False)."""
+    """Real structural image decode (PNG/JPEG/GIF headers) + REAL
+    deterministic content features over the synthetic image payloads:
+    PNGs fully decode to pixels (zlib inflate + scanline unfilter) and
+    yield luma statistics + a 16-bin histogram; JPEG/GIF (no entropy
+    codec in this container) yield the same statistics over the raw
+    payload bytes, labeled feature_kind='bytes'; corrupt payloads land
+    on the quarantine path (ok=False, zero features). Exact-value
+    pytest pins vs an independent numpy reference (test_ops.py)."""
     from ..sources.synth import synthesize
-    from ..stages.multimodal import decode_payloads, extract_features
+    from ..stages.multimodal import extract_features
 
     fixture = synthesize(n_pages=400)
     images = rd.read_parquet(os.path.join(fixture, "images.parquet"),
                              columns=["url", "payload"],
                              override_num_blocks=2)   # small-read rule
-    return extract_features(decode_payloads(images))
+    return extract_features(images)
 
 
 def domain_stats_pages(sf_dir: str):
@@ -1121,16 +1126,19 @@ def warc_pages(sf_dir: str):
 
 def multimodal_audio(sf_dir: str):
     """Real RIFF/WAVE container decode over synthetic audio payloads
-    (channels / rate / bits / frame count / duration); corrupt payloads
-    quarantine (ok=False)."""
+    (channels / rate / bits / frame count / duration) + REAL PCM signal
+    features (RMS, zero-crossing rate, FFT spectral centroid/bandwidth,
+    peak) from the decoded samples; corrupt payloads quarantine
+    (ok=False, zero features). Exact-value pytest pins vs an independent
+    numpy reference (test_ops.py)."""
     from ..sources.synth import synthesize
-    from ..stages.multimodal import decode_audio
+    from ..stages.multimodal import audio_features
 
     fixture = synthesize(n_pages=400)
     clips = rd.read_parquet(os.path.join(fixture, "audio.parquet"),
                             columns=["url", "payload"],
                             override_num_blocks=2)    # small-read rule
-    return decode_audio(clips)
+    return audio_features(clips)
 
 
 def multimodal_video_frames(sf_dir: str):

@@ -984,32 +984,198 @@ def test_multimodal_decode_pipeline(smoke_fixture_dir):
     import ray.data as rd
 
     from graphene_loader_ray.stages.multimodal import (FEATURE_DIM,
-                                                       decode_payloads,
+                                                       HIST_BINS,
                                                        extract_features)
 
     images = rd.read_parquet(smoke_fixture_dir + "/images.parquet")
     kinds = dict(zip(
         images.to_pandas()["url"], images.to_pandas()["kind"]))
     out = extract_features(
-        decode_payloads(images.select_columns(["url", "payload"]))
-    ).to_pandas()
+        images.select_columns(["url", "payload"])).to_pandas()
     assert len(out) == len(kinds)
     for _, row in out.iterrows():
         kind = kinds[row["url"]]
         if kind == "corrupt":
             assert not row["ok"] and row["width"] == 0
+            assert row["feature_kind"] is None
+            assert not any(row["feature"])
         else:
             assert row["ok"] and row["format"] == kind
             assert row["width"] > 0 and row["height"] > 0
+            # real kernels: PNGs decode to pixels, JPEG/GIF (header-only
+            # fixtures, and no entropy codec here) fall back to bytes
+            assert row["feature_kind"] == \
+                ("pixels" if kind == "png" else "bytes")
+            assert any(row["feature"])            # real nonzero statistics
+            # bins are individually rounded to 6 dp → sum drifts ≤ 16·5e-7
+            assert abs(sum(row["luma_hist"]) - 1.0) < 1e-5
     assert (~out["ok"]).sum() >= 1               # quarantine path exercised
     assert all(len(f) == FEATURE_DIM for f in out["feature"])
+    assert all(len(h) == HIST_BINS for h in out["luma_hist"])
     # deterministic re-run
     out2 = extract_features(
-        decode_payloads(images.select_columns(["url", "payload"]))
-    ).to_pandas()
+        images.select_columns(["url", "payload"])).to_pandas()
     a = out.sort_values("url").reset_index(drop=True)
     b = out2.sort_values("url").reset_index(drop=True)
     assert (a["payload_sha256"].fillna("") == b["payload_sha256"].fillna("")).all()
+    assert a["feature"].map(tuple).equals(b["feature"].map(tuple))
+
+
+def _encode_png(px, ctype: int, filters, plte: bytes | None = None) -> bytes:
+    """Independent PNG encoder for decode tests: applies the REQUESTED
+    filter type per scanline (the test's own implementation of PNG spec
+    §9 filtering, written forward — decode must invert it)."""
+    import struct as st
+    import zlib
+
+    h, w, c = px.shape
+    def chunk(tag, data):
+        return (st.pack(">I", len(data)) + tag + data
+                + st.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    flat = px.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros((w, c), np.int64)
+    for r in range(h):
+        f = filters[r % len(filters)]
+        row = flat[r]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.vstack([np.zeros((1, c), np.int64), row[:-1]])
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            left = np.vstack([np.zeros((1, c), np.int64), row[:-1]])
+            enc = (row - (left + prev) // 2) % 256
+        else:                                     # Paeth
+            enc = np.empty((w, c), np.int64)
+            for x in range(w):
+                for ch in range(c):
+                    a = row[x - 1, ch] if x else 0
+                    b = prev[x, ch]
+                    cc = prev[x - 1, ch] if x else 0
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                        (b if pb <= pc_ else cc)
+                    enc[x, ch] = (row[x, ch] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    body = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        body += chunk(b"PLTE", plte)
+    return body + chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + chunk(b"IEND", b"")
+
+
+def test_png_pixel_decode_all_filters():
+    """decode_png_pixels inverts every scanline filter type (0-4) and
+    every 8-bit color type (gray, RGB, palette, gray+alpha, RGBA),
+    byte-exactly, against an independent forward encoder; broken /
+    unsupported payloads return None instead of garbage."""
+    from graphene_loader_ray.stages.multimodal import decode_png_pixels
+
+    rng = np.random.default_rng(42)
+    for ctype, c in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = rng.integers(0, 256, (11, 7, c), dtype=np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            got = decode_png_pixels(_encode_png(px, ctype, filters))
+            assert got is not None and np.array_equal(got, px), \
+                (ctype, filters)
+    # palette: indices decode THROUGH the PLTE lookup to RGB
+    idx = rng.integers(0, 4, (5, 6, 1), dtype=np.uint8)
+    plte = bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    got = decode_png_pixels(_encode_png(idx, 3, [0, 2], plte=plte))
+    assert np.array_equal(got, pal[idx[:, :, 0]])
+    # rejects: truncated, bad filter byte, 16-bit depth, interlace
+    ok = _encode_png(px, 6, [0])
+    assert decode_png_pixels(ok[:40]) is None
+    assert decode_png_pixels(b"notapng") is None
+    deep = bytearray(ok)
+    deep[24] = 16                                 # bit depth byte in IHDR
+    assert decode_png_pixels(bytes(deep)) is None
+    inter = bytearray(ok)
+    inter[28] = 1                                 # interlace byte in IHDR
+    assert decode_png_pixels(bytes(inter)) is None
+
+
+def test_image_features_pinned():
+    """Feature values over the synth fixture PNG equal an independent
+    numpy reference computed straight from the known generator formula
+    (pixel[r, c] = (seed + 31 r + c) % 256) — no shared code path."""
+    from graphene_loader_ray.sources.synth import _jpeg_bytes, _png_bytes
+    from graphene_loader_ray.stages.multimodal import (ImageFeatures,
+                                                       decode_png_pixels)
+
+    w, h, seed = 20, 9, 77
+    payload = _png_bytes(w, h, seed)
+    px = decode_png_pixels(payload)
+    expect = np.array([[(seed + 31 * r + c) % 256 for c in range(w)]
+                       for r in range(h)], np.uint8)
+    assert np.array_equal(px[:, :, 0], expect)
+
+    t = pa.table({"url": pa.array(["a", "b"]),
+                  "payload": pa.array([payload, _jpeg_bytes(6, 4)],
+                                      pa.binary())})
+    out = ImageFeatures()(t)
+    v = expect.astype(np.float64)
+    counts = np.bincount(v.reshape(-1).astype(np.int64), minlength=256)
+    p = counts[counts > 0] / v.size
+    q = np.percentile(v, [25, 50, 75])
+    ref = [round(float(x), 6) for x in (
+        v.mean() / 255, v.std() / 255, -(p * np.log2(p)).sum() / 8,
+        w / (w + h), q[0] / 255, q[1] / 255, q[2] / 255,
+        np.abs(np.diff(v, axis=1)).mean() / 255)]
+    assert out["feature"].to_pylist()[0] == ref
+    hist_ref = [round(float(x), 6)
+                for x in counts.reshape(16, 16).sum(axis=1) / v.size]
+    assert out["luma_hist"].to_pylist()[0] == hist_ref
+    assert out["feature_kind"].to_pylist() == ["pixels", "bytes"]
+    # byte path: same statistics over the raw jpeg payload bytes
+    bv = np.frombuffer(_jpeg_bytes(6, 4), np.uint8).astype(np.float64)
+    assert out["feature"].to_pylist()[1][0] == round(bv.mean() / 255, 6)
+
+
+def test_audio_features_pinned():
+    """Audio features over a constructed sine WAV equal an independent
+    numpy reference (sample reconstruction straight from the int16
+    quantization), and the spectral centroid of a pure tone lands on the
+    tone (±1 FFT bin)."""
+    import struct as st
+
+    from graphene_loader_ray.stages.multimodal import (AudioFeatures,
+                                                       parse_wav_samples)
+
+    rate, n, f0 = 8000, 800, 440.0
+    x = np.sin(2 * np.pi * f0 * np.arange(n) / rate)
+    pcm = (x * 32767).astype(np.int16)
+    fmt = st.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", pcm.nbytes) + pcm.tobytes())
+    wav = b"RIFF" + st.pack("<I", len(body)) + body
+
+    got_rate, mono = parse_wav_samples(wav)
+    ref = pcm.astype(np.float64) / 32768
+    assert got_rate == rate and np.array_equal(mono, ref)
+
+    t = pa.table({"url": pa.array(["s", "junk"]),
+                  "payload": pa.array([wav, b"RIFX" + wav[4:]],
+                                      pa.binary())})
+    out = AudioFeatures()(t)
+    row = {c: out[c].to_pylist()[0] for c in out.column_names}
+    assert row["ok"] and row["sample_rate"] == rate
+    assert row["rms"] == round(float(np.sqrt((ref ** 2).mean())), 6)
+    assert row["zero_cross_rate"] == \
+        round(float((ref[1:] * ref[:-1] < 0).mean()), 6)
+    assert abs(row["spectral_centroid_hz"] - f0) < 2 * rate / n
+    assert row["spectral_bandwidth_hz"] > 0
+    assert row["peak"] == round(float(np.abs(ref).max()), 6)
+    junk = {c: out[c].to_pylist()[1] for c in out.column_names}
+    assert not junk["ok"] and junk["rms"] == 0.0
 
 
 def test_domain_stats_vs_duckdb(smoke_fixture_dir):
