@@ -288,10 +288,17 @@ class MinHasher:
     the r1 per-shingle join/blake2b loop is gone)."""
 
     def __init__(self, k: int = 64, shingle_n: int = 3,
-                 text_col: str = "text", id_col: str = "doc_id") -> None:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 sql_parity: bool = False) -> None:
+        # sql_parity: ASCII \w tokens + md5-prefix word hashes so that
+        # minhash_sql() is an EXACT DuckDB twin (the SimHasher precedent,
+        # ops/dedup.py:simhash_sql). Default keeps the unicode tokenizer
+        # + blake2b — the production LSH path is unchanged.
         self.k = k
         self.a, self.b = _minhash_params(k)
-        self.shingler = ShingleHasher(shingle_n)
+        self.shingler = (ShingleHasher(shingle_n, ascii_words=True,
+                                       hash_name="md5")
+                         if sql_parity else ShingleHasher(shingle_n))
         self.text_col, self.id_col = text_col, id_col
 
     def signature(self, text: str) -> np.ndarray:
@@ -315,6 +322,118 @@ class MinHasher:
             "sig": pa.FixedSizeListArray.from_arrays(
                 pa.array(sigs.reshape(-1), pa.uint64()), self.k),
         })
+
+
+class MinHashRows:
+    """Actor: docs -> exploded (doc_id, h_ix, minhash-hex) signature rows
+    — the driver-comparable view of MinHasher (uint64 goes out as 016x
+    hex strings: nullable UBIGINT → fetchdf float64 rounds above 2^53,
+    the BASELINE.md hazard)."""
+
+    def __init__(self, k: int = 16, shingle_n: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 sql_parity: bool = False) -> None:
+        self.mh = MinHasher(k, shingle_n, text_col, id_col,
+                            sql_parity=sql_parity)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.mh.k
+        n = batch.num_rows
+        sigs = np.empty((n, k), dtype=np.uint64)
+        for i, t in enumerate(batch[self.mh.text_col].to_pylist()):
+            sigs[i] = self.mh.signature(t or "")
+        doc = np.repeat(
+            np.asarray(batch[self.mh.id_col], dtype=np.int64), k)
+        hix = np.tile(np.arange(k, dtype=np.int64), n)
+        hexes = [format(v, "016x") for v in sigs.reshape(-1).tolist()]
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "h_ix": pa.array(hix, pa.int64()),
+                         "minhash": pa.array(hexes, pa.string())})
+
+
+def minhash_signature_rows(docs: Dataset, k: int = 16, shingle_n: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           sql_parity: bool = False) -> Dataset:
+    return docs.map_batches(
+        MinHashRows,
+        fn_constructor_args=(k, shingle_n, text_col, id_col, sql_parity),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+
+def minhash_sql(table: str, text_col: str = "text",
+                id_col: str = "doc_id", k: int = 16,
+                shingle_n: int = 3) -> str:
+    """Generated DuckDB twin of ``MinHasher(sql_parity=True)`` →
+    :class:`MinHashRows` (VERDICT r4 next-round #3): same tokenizer (RE2
+    ASCII ``\\w+`` over ``lower(text)``), same word hash (first 8 md5
+    bytes as UBIGINT), same positional n-gram combine
+    (:func:`combine_ngram_hashes`'s multiply-xor with the _MIX
+    constants, reproduced wrap-exact via the 32-bit-split HUGEINT
+    multiply — ops/sketch.py:_mul64_sql), same shorter-than-n fallback
+    (a doc with fewer than n words shingles at its own length), same
+    affine minhash ((a|1)·s + b mod 2^64 — a, b are 31-bit constants
+    from the shared seeded generator, so the product fits HUGEINT
+    directly), same shingle dedup (np.unique ≙ DISTINCT), and the same
+    all-ones signature for shingle-less docs. Signatures emitted as
+    016x hex strings on both sides.
+
+    The CASE ladder is generated for ``shingle_n=3`` (the production
+    shingle width)."""
+    if shingle_n != 3:
+        raise ValueError("minhash_sql's n_eff ladder is generated for "
+                         "shingle_n=3")
+    from .sketch import _mul64_sql
+    a, b = _minhash_params(k)
+    a = a | np.uint64(1)
+    assert int(a.max()) < 2 ** 31 and int(b.max()) < 2 ** 31
+    m0 = _mul64_sql("h0", int(_MIX[0]))
+    m1 = _mul64_sql("h1", int(_MIX[1]))
+    m2 = _mul64_sql("h2", int(_MIX[2]))
+    consts = ", ".join(f"({i}, {int(ai)}, {int(bi)})"
+                       for i, (ai, bi) in enumerate(zip(a, b)))
+    big = 18446744073709551616
+    return f"""
+        WITH lists AS (
+          SELECT {id_col} AS doc_id,
+                 regexp_extract_all(lower({text_col}), '\\w+') AS l
+          FROM {table}),
+        toks AS (
+          SELECT doc_id, unnest(l) AS w,
+                 CAST(unnest(range(len(l))) AS BIGINT) AS pos,
+                 CAST(len(l) AS BIGINT) AS nw
+          FROM lists),
+        wh AS (
+          SELECT doc_id, pos, nw,
+                 CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h
+          FROM toks),
+        win AS (
+          SELECT doc_id, pos, nw, h AS h0,
+                 lead(h, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS h1,
+                 lead(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+          FROM wh),
+        shingles AS (
+          SELECT DISTINCT doc_id,
+                 CASE WHEN nw >= 3 THEN xor(xor({m0}, {m1}), {m2})
+                      WHEN nw = 2 THEN xor({m0}, {m1})
+                      ELSE {m0} END AS s
+          FROM win WHERE pos + least(nw, 3) <= nw),
+        consts(i, a, b) AS (VALUES {consts}),
+        mins AS (
+          SELECT s.doc_id, c.i,
+                 min(CAST((CAST(c.a AS HUGEINT) * CAST(s.s AS HUGEINT)
+                           + CAST(c.b AS HUGEINT)) % {big} AS UBIGINT))
+                     AS mh
+          FROM shingles s CROSS JOIN consts c
+          GROUP BY s.doc_id, c.i),
+        grid AS (SELECT d.{id_col} AS doc_id, c.i
+                 FROM {table} d CROSS JOIN consts c)
+        SELECT g.doc_id, CAST(g.i AS BIGINT) AS h_ix,
+               lower(lpad(hex(coalesce(m.mh,
+                                       CAST({big - 1} AS UBIGINT))),
+                          16, '0')) AS minhash
+        FROM grid g
+        LEFT JOIN mins m ON m.doc_id = g.doc_id AND m.i = g.i
+    """
 
 
 def lsh_candidate_pairs(signatures: Dataset, bands: int = 16,

@@ -520,6 +520,43 @@ def test_simhash_sql_twin(ray_session):
         sh.simhash("the quick fox")
 
 
+def test_minhash_sql_twin(ray_session):
+    """MinHasher(sql_parity=True) signatures are bit-identical to the
+    generated DuckDB twin on real docs plus planted edge cases: empty
+    text (all-ones signature), tokenless punctuation, one- and two-word
+    docs (shorter-than-n shingle fallback), repeated words (DISTINCT ≙
+    np.unique), and unicode the ASCII tokenizer drops on both sides."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from graphene_loader_ray.ops.dedup import (MinHasher, MinHashRows,
+                                               minhash_sql)
+
+    real = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    planted = pa.table({
+        "doc_id": pa.array([9001, 9002, 9003, 9004, 9005, 9006],
+                           pa.int64()),
+        "text": pa.array(["", "?! ... --", "single", "one two",
+                          "the the THE tHe", "Üñïçødé wörds 光 plain"],
+                         pa.string())})
+    docs = pa.concat_tables([real, planted])
+    eng_t = MinHashRows(k=16, sql_parity=True)(docs)
+    eng = {(d, i): h for d, i, h in zip(eng_t["doc_id"].to_pylist(),
+                                        eng_t["h_ix"].to_pylist(),
+                                        eng_t["minhash"].to_pylist())}
+    con = duckdb.connect()
+    con.register("documents", docs)
+    gold = {(d, i): h for d, i, h in
+            con.execute(minhash_sql("documents", k=16)).fetchall()}
+    assert eng == gold and len(eng) == docs.num_rows * 16
+    # empty doc -> all-ones signature on both sides
+    assert eng[(9001, 0)] == "f" * 16
+    # parity mode leaves the production (blake2b) signatures alone
+    assert MinHasher(k=16, sql_parity=True).signature("a b c d")[0] != \
+        MinHasher(k=16).signature("a b c d")[0]
+
+
 def test_embedding_neardup(ray_session):
     import ray.data as rd
 
