@@ -212,8 +212,68 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
             "dirs": man.completed_dirs()}
 
 
+def head_mention_keys(mentions_ds, k: int = 64,
+                      hot_factor: float = 4.0) -> list[str]:
+    """Hot node keys from the A4 surface-frequency reduce — the
+    skew-detection input SURVEY §4 names (the reference knows these as
+    the "common metabolites", post-import-cypher.txt:6). A key is hot
+    when its mention count is ≥ ``hot_factor`` × the median count;
+    returns at most ``k`` keys, highest-count first (ties by key, so the
+    list is deterministic). Driver-side scan is fine: the mentions
+    reduce is node-vocabulary-scale, never corpus-scale."""
+    import numpy as np
+
+    keys: list[str] = []
+    counts: list[int] = []
+    for b in mentions_ds.iter_batches(batch_size=65536,
+                                      batch_format="pyarrow"):
+        keys += b["node_key"].to_pylist()
+        counts += b["n_mentions"].to_pylist()
+    if not keys:
+        return []
+    med = max(1.0, float(np.median(np.asarray(counts, dtype=np.int64))))
+    hot = sorted(((n, s) for n, s in zip(counts, keys)
+                  if n >= hot_factor * med), key=lambda t: (-t[0], t[1]))
+    return [s for _, s in hot[:k]]
+
+
+def _fold_triple_group(df):
+    """One-row fold of a (subj, pred, obj) group: sum supports, merge props
+    with the commutative kb/spec rule. Serves as BOTH phases of
+    ``salted_group_apply`` (props-merge and support-sum are associative and
+    commutative, so partial-of-partials equals the plain fold)."""
+    import pandas as pd
+
+    from ..kb.spec import merge_props_json
+    if df.empty:
+        return pd.DataFrame({"subj": pd.Series(dtype=object),
+                             "pred": pd.Series(dtype=object),
+                             "obj": pd.Series(dtype=object),
+                             "support": pd.Series(dtype="int64"),
+                             "props": pd.Series(dtype=object)})
+    props = None
+    for s in df["props"]:
+        if s is not None and not (isinstance(s, float) and s != s):
+            props = merge_props_json(props, s)
+    return pd.DataFrame({"subj": [df["subj"].iloc[0]],
+                         "pred": [df["pred"].iloc[0]],
+                         "obj": [df["obj"].iloc[0]],
+                         "support": [int(df["support"].sum())],
+                         "props": [props]})
+
+
 def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
-    """Global dedup of kb edges ∪ page triples; sorted node/edge output."""
+    """Global dedup of kb edges ∪ page triples; sorted node/edge output.
+
+    Skew control (VERDICT r4 next-round #6): the A4 mentions reduce runs
+    FIRST and its head (:func:`head_mention_keys`) becomes the salt list
+    for the triple reduce — triples touching a hot entity route through
+    ``salted_group_apply`` (hot keys split across n_salts sub-reduces
+    before the per-key merge; props-merge and support-sum are commutative,
+    so the result is identical), everything else through the plain
+    combiner-first ``dedup_merge_props``. The chosen head is published as
+    ``salt_head.json`` next to the graph tables (test_kg_skew.py asserts
+    the planted hot surface lands on it)."""
     man = StageManifest(outdir, "graph")
     up_kb = os.path.join(outdir, "kb", "_manifest.json")
     up_tr = os.path.join(outdir, "triples", "_manifest.json")
@@ -253,24 +313,65 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
                 "support": t["n"],
                 "props": pa.nulls(t.num_rows, pa.string())}),
             batch_format="pyarrow"))
+    # surface-frequency reduce (A4) FIRST — its head is the skew-detection
+    # input for the triple reduce below (and the reference's blacklist
+    # candidate list). Materialized: it feeds both the parquet write and
+    # the driver-side head scan without recomputing.
+    hot_keys: list[str] = []
+    if linked is not None:
+        mentions = pre_aggregated_sum(mentions_only(linked), ["node_key"],
+                                      "n", out_col="n_mentions",
+                                      num_output_blocks=4).materialize()
+        mentions.sort(["node_key"]) \
+                .write_parquet(os.path.join(tmp, "mentions"))
+        hot_keys = head_mention_keys(mentions)
+    with open(os.path.join(tmp, "salt_head.json"), "w") as fh:
+        json.dump(hot_keys, fh)
+
     # sum partial supports per triple + merge edge props (the reduce half
-    # of the two-phase dedup; props exist only on the KB side)
-    from ..ops.aggregate import dedup_merge_props
-    final_edges = dedup_merge_props(union, ["subj", "pred", "obj"],
-                                    support_col="support", num_partitions=8) \
-        .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
-    final_edges.sort(["subj", "pred", "obj"]) \
-               .write_parquet(os.path.join(tmp, "edges"))
+    # of the two-phase dedup; props exist only on the KB side). Hot-entity
+    # triples (subj or obj in the mentions head) take the salted two-phase
+    # reduce; both folds are commutative (kb/spec.merge_props property
+    # test), so the split is a pure scheduling decision.
+    from ..ops.aggregate import dedup_merge_props, salted_group_apply
+    keys3 = ["subj", "pred", "obj"]
+    if hot_keys:
+        import pyarrow.compute as pc
+        hot_arr = pa.array(sorted(set(hot_keys)), pa.string())
+        # one cheap materialize of the (partial-aggregate-scale) union so
+        # the hot/cold split doesn't re-run the upstream reads twice
+        union = union.materialize()
+
+        def cold_rows(t: pa.Table) -> pa.Table:
+            m = pc.or_(pc.is_in(t["subj"], value_set=hot_arr),
+                       pc.is_in(t["obj"], value_set=hot_arr))
+            return t.filter(pc.invert(m))
+
+        def hot_rows(t: pa.Table) -> pa.Table:
+            m = pc.or_(pc.is_in(t["subj"], value_set=hot_arr),
+                       pc.is_in(t["obj"], value_set=hot_arr))
+            return t.filter(m)
+
+        cold = dedup_merge_props(
+            union.map_batches(cold_rows, batch_format="pyarrow"),
+            keys3, support_col="support", num_partitions=8) \
+            .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
+        hot = salted_group_apply(
+            union.map_batches(hot_rows, batch_format="pyarrow"),
+            keys3, _fold_triple_group, _fold_triple_group,
+            n_salts=8, num_partitions=8) \
+            .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
+        final_edges = cold.union(hot)
+    else:
+        final_edges = dedup_merge_props(union, keys3,
+                                        support_col="support",
+                                        num_partitions=8) \
+            .map_batches(lambda t: t.select(_cols), batch_format="pyarrow")
+    final_edges.sort(keys3).write_parquet(os.path.join(tmp, "edges"))
     rd.read_parquet(os.path.join(kb_dir, "nodes"), override_num_blocks=2) \
         .sort(["canonical_id", "label", "name"]) \
         .write_parquet(os.path.join(tmp, "nodes"))
     if linked is not None:
-        # surface-frequency reduce (A4); the head of this table is the
-        # salt/blacklist candidate list
-        pre_aggregated_sum(mentions_only(linked), ["node_key"], "n",
-                           out_col="n_mentions", num_output_blocks=4) \
-            .sort(["node_key"]) \
-            .write_parquet(os.path.join(tmp, "mentions"))
         # quarantine reduce: per-(surface, role) unlinkable-mention counts
         pre_aggregated_sum(misses_only(linked), ["surface", "role"], "n",
                            out_col="n_misses", num_output_blocks=2) \

@@ -240,6 +240,56 @@ def test_changed_input_invalidates_partition(tmp_path):
     assert "p0" in man2.partitions
 
 
+def test_incremental_append_equals_fresh(tmp_path):
+    """North-rule incremental ingest (VERDICT r4 next-round #5): append
+    new pages partitions to a COMPLETED run → (a) only the new
+    partitions compute (the file→partition striping ``files[i::n]`` is
+    append-stable: file j always lands in partition j % n, so existing
+    partitions keep their fingerprints), (b) the kb stage stays skipped
+    but the graph stage's reduces refresh (its fingerprint covers the
+    triples manifest), and (c) the final graph tables are byte-identical
+    to a from-scratch run over the full input. This is the restart gap
+    the north rule exists to fix — the reference refuses to load into a
+    nonempty store (LoadGrameneGraphDb.groovy:40-42)."""
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+    from graphene_loader_ray.sources.synth import synthesize
+
+    src = synthesize(n_pages=400)
+    fix = tmp_path / "fixture"
+    fix.mkdir()
+    for f in os.listdir(src):
+        p = os.path.join(src, f)
+        if os.path.isfile(p):
+            os.symlink(p, fix / f)
+    pages = fix / "pages"
+    pages.mkdir()
+    all_files = sorted(os.listdir(os.path.join(src, "pages")))
+    assert len(all_files) == 8
+    for f in all_files[:6]:
+        os.symlink(os.path.join(src, "pages", f), pages / f)
+
+    out_inc = str(tmp_path / "inc")
+    r1 = run_kg_pipeline(str(fix), out_inc, n_page_partitions=8)
+    assert r1["page_partitions_ran"] == 6 and not r1["graph_skipped"]
+
+    for f in all_files[6:]:                       # the append
+        os.symlink(os.path.join(src, "pages", f), pages / f)
+    r2 = run_kg_pipeline(str(fix), out_inc, n_page_partitions=8)
+    assert r2["kb_skipped"]
+    assert r2["page_partitions_skipped"] == 6     # (a) old partitions skip
+    assert r2["page_partitions_ran"] == 2         #     only the new compute
+    assert not r2["graph_skipped"]                # (b) reduces refreshed
+
+    out_fresh = str(tmp_path / "fresh")
+    r3 = run_kg_pipeline(str(fix), out_fresh, n_page_partitions=8)
+    for tbl in ("nodes", "edges", "mentions", "misses"):
+        a = pq.read_table(os.path.join(r2["graph_dir"], tbl))
+        b = pq.read_table(os.path.join(r3["graph_dir"], tbl))
+        assert a.equals(b), tbl                   # (c) append == fresh
+    assert r2["counters"] == r3["counters"]
+    assert r2["counters"]["pages"] == 400
+
+
 def test_parity_holds_at_larger_vocabulary(tmp_path_factory):
     """Engine == oracle on a 4× vocabulary (more genes → more surfaces,
     registries, bridges, adjacency chains): guards against scale-dependent

@@ -89,6 +89,18 @@ def test_hot_surface_dominates(skew_oracle, skew_pipeline):
     assert counts[hot[0]] >= 0.25 * n_pages
 
 
+def test_hot_surface_on_salted_path(skew_pipeline):
+    """The A4 mentions head feeds the salt list (VERDICT r4 #6): the
+    planted hot entity must appear in the published salt_head.json —
+    i.e. its triples took the salted two-phase reduce — and parity
+    (test_skewed_output_matches_oracle) holds with that path active."""
+    import json
+    with open(os.path.join(skew_pipeline["graph_dir"],
+                           "salt_head.json")) as fh:
+        head = json.load(fh)
+    assert any("H2O [cytosol]" in k for k in head), head
+
+
 def test_reduce_partitions_stay_balanced(skew_pipeline):
     """Replay the exact partition assignment of the graph-stage triple
     reduce (ops/partition.py group_partitioned: pandas stable hash of the
