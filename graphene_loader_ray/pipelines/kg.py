@@ -384,14 +384,22 @@ def run_graph_stage(outdir: str, kb_dir: str, resume: bool = True) -> dict:
 def run_kg_pipeline(fixture_dir: str, outdir: str, *,
                     n_page_partitions: int = 4, resume: bool = True,
                     batch_size: int = 2048, concurrency=(1, 8),
-                    pages_format: str = "parquet") -> dict:
-    """End-to-end: kb → triples (per-partition) → graph. Returns summary."""
+                    pages_format: str = "parquet",
+                    repeat: int = 1) -> dict:
+    """End-to-end: kb → triples (per-partition) → graph. Returns summary
+    incl. per-stage wall seconds (``stage_sec``). ``repeat`` amplifies the
+    page input (see :func:`run_pages_stage`) for scale benchmarking."""
+    import time
+    t0 = time.time()
     kb_res = run_kb_stage(fixture_dir, outdir, resume=resume)
+    t1 = time.time()
     pages_res = run_pages_stage(fixture_dir, outdir, kb_res["dir"],
                                 n_partitions=n_page_partitions, resume=resume,
                                 batch_size=batch_size, concurrency=concurrency,
-                                pages_format=pages_format)
+                                pages_format=pages_format, repeat=repeat)
+    t2 = time.time()
     graph_res = run_graph_stage(outdir, kb_res["dir"], resume=resume)
+    t3 = time.time()
 
     counters = dict(kb_res.get("counters", {}))
     for k, v in pages_res["counters"].items():
@@ -403,4 +411,7 @@ def run_kg_pipeline(fixture_dir: str, outdir: str, *,
             "page_partitions_ran": pages_res["ran"],
             "page_partitions_skipped": pages_res["skipped"],
             "graph_skipped": graph_res["skipped"],
+            "stage_sec": {"kb": round(t1 - t0, 3),
+                          "pages": round(t2 - t1, 3),
+                          "graph": round(t3 - t2, 3)},
             "counters": counters}
