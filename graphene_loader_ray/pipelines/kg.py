@@ -213,14 +213,22 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
 
 
 def head_mention_keys(mentions_ds, k: int = 64,
-                      hot_factor: float = 4.0) -> list[str]:
+                      hot_factor: float = 4.0,
+                      share_floor: float = 1.0 / 16.0) -> list[str]:
     """Hot node keys from the A4 surface-frequency reduce — the
     skew-detection input SURVEY §4 names (the reference knows these as
     the "common metabolites", post-import-cypher.txt:6). A key is hot
-    when its mention count is ≥ ``hot_factor`` × the median count;
-    returns at most ``k`` keys, highest-count first (ties by key, so the
-    list is deterministic). Driver-side scan is fine: the mentions
-    reduce is node-vocabulary-scale, never corpus-scale."""
+    when its mention count is ≥ ``hot_factor`` × the median count AND
+    ≥ ``share_floor`` of all mentions. The share floor is the load test:
+    the triple reduce consumes map-side-combined PARTIALS (a key's rows
+    there are bounded by the upstream task count, not its mention count),
+    so a head key only bottlenecks a reduce partition when it carries a
+    partition-sized fraction of the data — below that, routing it through
+    the salted path buys nothing and costs a second shuffle. 1/16 ≈ half
+    of one of the 8 reduce partitions. Returns at most ``k`` keys,
+    highest-count first (ties by key, so the list is deterministic).
+    Driver-side scan is fine: the mentions reduce is
+    node-vocabulary-scale, never corpus-scale."""
     import numpy as np
 
     keys: list[str] = []
@@ -231,9 +239,11 @@ def head_mention_keys(mentions_ds, k: int = 64,
         counts += b["n_mentions"].to_pylist()
     if not keys:
         return []
-    med = max(1.0, float(np.median(np.asarray(counts, dtype=np.int64))))
-    hot = sorted(((n, s) for n, s in zip(counts, keys)
-                  if n >= hot_factor * med), key=lambda t: (-t[0], t[1]))
+    arr = np.asarray(counts, dtype=np.int64)
+    med = max(1.0, float(np.median(arr)))
+    floor = max(hot_factor * med, share_floor * float(arr.sum()))
+    hot = sorted(((n, s) for n, s in zip(counts, keys) if n >= floor),
+                 key=lambda t: (-t[0], t[1]))
     return [s for _, s in hot[:k]]
 
 

@@ -1,8 +1,10 @@
 """Adversarial head-entity skew through the FULL KG flagship (SURVEY §4's
 "H2O problem" at pipeline level, VERDICT r3 item 6).
 
-The fixture plants ONE surface ("H2O [cytosol]") in ~30% of all pages on
-top of the generator's organic Zipf head. The pipeline must (a) still equal
+The fixture plants ONE surface ("H2O [cytosol]") three times on ~30% of
+all pages on top of the generator's organic Zipf head (~12% of ALL
+mentions — a reduce-partition-sized share, which is what the load-based
+salt trigger keys on). The pipeline must (a) still equal
 the oracle exactly, and (b) keep the corpus-scale triple reduce BALANCED:
 the fused link actors combine per batch (stages/link.py), so the hottest
 triple reaches the (subj, pred, obj) shuffle as O(n_batches) partial rows,
@@ -18,7 +20,14 @@ import pandas as pd
 import pyarrow.parquet as pq
 import pytest
 
-HOT = b"<p>H2O [cytosol] is part of ATP [cytosol].</p>\n</article>"
+# three occurrences per planted page: the salt trigger is LOAD-based
+# (head_mention_keys share_floor) — a planted key must hold a
+# partition-sized share of ALL mentions to qualify as a bottleneck, and
+# one occurrence on 30% of pages dilutes to ~6% of mentions (organic
+# density ~7/page), right at the floor. 3x lands it at ~12%, a share
+# that genuinely overloads one of the 8 reduce partitions.
+HOT = (b"<p>H2O [cytosol] is part of ATP [cytosol].</p>\n" * 3
+       + b"</article>")
 N_PARTITIONS = 4
 
 
@@ -134,3 +143,26 @@ def test_reduce_partitions_stay_balanced(skew_pipeline):
     med = float(np.median(counts))
     assert med > 0
     assert counts.max() <= 2 * med, counts
+
+
+def test_head_keys_require_partition_scale_share():
+    """The salt trigger is LOAD-based, not just median-relative: a key at
+    4x the median but holding a tiny share of total mentions cannot
+    bottleneck a reduce partition (the reduce input is map-side-combined
+    partials), so it must NOT be salted — salting it would cost a second
+    shuffle for nothing. A key holding a partition-sized share must be."""
+    import ray.data as rd
+
+    from graphene_loader_ray.pipelines.kg import head_mention_keys
+
+    # 200 uniform keys (count 100) + one 4x-median key: share 400/20400
+    # ~ 2% < 1/16 -> not hot
+    tame = rd.from_items(
+        [{"node_key": f"k{i:03d}", "n_mentions": 100} for i in range(200)]
+        + [{"node_key": "warm", "n_mentions": 400}])
+    assert head_mention_keys(tame) == []
+    # same tail + one key holding ~33% of all mentions -> hot
+    skewed = rd.from_items(
+        [{"node_key": f"k{i:03d}", "n_mentions": 100} for i in range(200)]
+        + [{"node_key": "hot", "n_mentions": 10000}])
+    assert head_mention_keys(skewed) == ["hot"]
