@@ -171,3 +171,26 @@ def distinct_values(ds: Dataset, col: str,
     shuffle), unlike ``Dataset.unique`` which materializes to the driver."""
     return exact_dedup(ds.select_columns([col]), [col],
                        num_output_blocks=num_output_blocks)
+
+
+def distinct_to_driver(ds: Dataset, col: str) -> "pa.Array":
+    """Distinct values of one column collected AS AN ARROW ARRAY on the
+    driver, with NO shuffle: each batch contributes its ``pc.unique``
+    (map-side combine), the driver merges the small partials. For
+    METADATA-scale key sets about to be broadcast (``ray.put`` + an
+    ``is_in`` mask) — a full distinct shuffle costs seconds of fixed
+    all-to-all latency to produce a set the driver must collect anyway.
+    Use :func:`distinct_values` when the distinct set itself is large or
+    stays distributed."""
+    import pyarrow.compute as pc
+
+    partial = ds.select_columns([col]).map_batches(
+        lambda t: pa.table({col: pc.unique(t[col].combine_chunks())}),
+        batch_format="pyarrow")
+    chunks = [b[col].combine_chunks()
+              for b in partial.iter_batches(batch_size=65536,
+                                            batch_format="pyarrow")
+              if b.num_rows]
+    if not chunks:
+        return pa.array([], pa.null())
+    return pc.unique(pa.concat_arrays(chunks))

@@ -189,14 +189,17 @@ def revenue_by_priority(sf_dir: str):
 def shipping_priority(sf_dir: str):
     """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
     selections on every table, per-order revenue aggregate, global
-    top-10. Scale plan: segment filter → keyed SEMI join on custkey (no
-    payload moves), lineitem pre-aggregated per order IN BATCH, the
-    order⋈revenue join and per-order sum fold into one orderkey-hashed
+    top-10. Scale plan: segment filter → BROADCAST semi join on custkey
+    (the segment's key set is dimension-scale: ray.put once, is_in mask
+    per batch — no payload moves, no shuffle; `ops/join.py:equi_join
+    how="left_semi"` is the keyed fallback when the filtered dimension
+    outgrows a broadcast), lineitem pre-aggregated per order IN BATCH,
+    the order⋈revenue join and per-order sum fold into one orderkey-hashed
     pass, and each partition emits only its local top-10 — the global
     sort sees P×10 rows."""
     import pandas as pd
 
-    from ..ops.join import equi_join
+    from ..ops.aggregate import distinct_to_driver
     from ..ops.partition import group_partitioned
 
     cutoff = pa.scalar(np.datetime64("1998-01-01", "us"), pa.timestamp("us"))
@@ -205,20 +208,21 @@ def shipping_priority(sf_dir: str):
                  columns=["c_custkey", "c_mktsegment"]).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
                    .select(["c_custkey"]), batch_format="pyarrow")
+    cust_keys_ref = ray.put(distinct_to_driver(cust, "c_custkey"))
+
+    def semi_project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], cutoff))
+        t = t.filter(pc.is_in(t["o_custkey"],
+                              value_set=ray.get(cust_keys_ref)))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "rev_e4": pa.nulls(t.num_rows, pa.int64()),
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
     ords = _read(sf_dir, "orders",
                  columns=["o_orderkey", "o_custkey", "o_orderdate",
                           "o_orderpriority"]).map_batches(
-        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff))
-                   .rename_columns(["o_orderkey", "c_custkey",
-                                    "o_orderdate", "o_orderpriority"]),
-        batch_format="pyarrow")
-    ords = equi_join(ords, cust, on=["c_custkey"], how="left_semi",
-                     num_partitions=8).map_batches(
-        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
-                            "rev_e4": pa.nulls(t.num_rows, pa.int64()),
-                            "o_orderdate": t["o_orderdate"],
-                            "o_orderpriority": t["o_orderpriority"]}),
-        batch_format="pyarrow")
+        semi_project, batch_format="pyarrow")
 
     def rev_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], cutoff))
@@ -313,32 +317,28 @@ def customers_without_orders(sf_dir: str):
     customers filtered by a vectorized not-in mask — no shuffle touches
     the big side. (The filter makes the result non-empty on the uniform
     synthetic tables, so the driver hash actually checks values.)"""
-    from ..ops.aggregate import distinct_values
+    from ..ops.aggregate import distinct_to_driver
 
     high = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]) \
         .map_batches(lambda t: t.filter(
             pc.greater(t["o_totalprice"], 400_000.0)).select(["o_custkey"]),
             batch_format="pyarrow")
-    # key set stays an ARROW array end-to-end: streamed off the distinct
-    # partitions, ray.put once, consumed by a C is_in kernel — no Python
-    # set, no per-row loop (VERDICT r2 "What's wrong" #2)
-    chunks = [b["o_custkey"].combine_chunks()
-              for b in distinct_values(high, "o_custkey").iter_batches(
-                  batch_size=65536, batch_format="pyarrow")
-              if b.num_rows]
-    keys_ref = ray.put(pa.concat_arrays(chunks) if chunks
+    # key set stays an ARROW array end-to-end: map-side uniques merged on
+    # the driver (metadata scale, NO distinct shuffle), ray.put once,
+    # consumed by a C is_in kernel — no Python set, no per-row loop
+    # (VERDICT r2 "What's wrong" #2). Task map, not an actor pool: the
+    # filter holds no built state, so actor startup would be pure latency.
+    keys = distinct_to_driver(high, "o_custkey")
+    keys_ref = ray.put(keys if keys.type != pa.null()
                        else pa.array([], pa.int64()))
 
-    class AntiFilter:
-        def __init__(self) -> None:
-            self.keys: pa.Array = ray.get(keys_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.filter(pc.invert(
-                pc.is_in(t["c_custkey"], value_set=self.keys)))
+    def anti_filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return t.filter(pc.invert(
+            pc.is_in(t["c_custkey"], value_set=ks)))
 
     return _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
-        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(anti_filter, batch_format="pyarrow")
 
 
 def supplier_region_stats(sf_dir: str):
