@@ -552,6 +552,44 @@ def dedup_exact(sf_dir: str):
                                   columns=["doc_id", "text"]))
 
 
+_JSONL_DUMP_CACHE: dict[str, str] = {}
+
+
+def jsonl_documents(sf_dir: str):
+    """JSONL source round-trip (sources/jsonl.py): the documents table
+    dumped to NDJSON shards (the web-text interchange format), read back
+    through the distributed JSONL reader, with ``n_chars_rt`` RECOMPUTED
+    from the round-tripped text (pc.utf8_length) so the hash compare
+    proves string fidelity through the JSON encode/parse path, not just
+    row plumbing. The dump is driver-side and cached per sf_dir —
+    fixture preparation, not pipeline work."""
+    import json as _json
+
+    from ..sources.jsonl import read_jsonl
+
+    if sf_dir not in _JSONL_DUMP_CACHE:
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text", "lang", "source"])
+        out = f"/tmp/graphene_jsonl/{abs(hash(sf_dir)):x}"
+        os.makedirs(out, exist_ok=True)
+        n = t.num_rows
+        for shard, lo in enumerate(range(0, n, max(1, (n + 3) // 4))):
+            rows = t.slice(lo, max(1, (n + 3) // 4)).to_pylist()
+            with open(os.path.join(out, f"part{shard}.jsonl"), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r) + "\n")
+        _JSONL_DUMP_CACHE[sf_dir] = out
+    root = _JSONL_DUMP_CACHE[sf_dir]
+    paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string())])
+    ds = read_jsonl(paths, schema, override_num_blocks=4)
+    return ds.map_batches(lambda t: pa.table({
+        "doc_id": t["doc_id"], "lang": t["lang"], "source": t["source"],
+        "n_chars_rt": pc.cast(pc.utf8_length(t["text"]), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def sample_documents(sf_dir: str):
     """Deterministic 25% content-hash holdout split (same doc always on
     the same side regardless of partitioning/run)."""
@@ -1766,3 +1804,13 @@ QUERIES = {k: QUERIES[k]
            for k in _HEAD + _DEFER_SQL + _R4_GREEN_FLAGSHIP
            + [k for k in QUERIES if k not in _HEAD
               and k not in _DEFER_SQL and k not in _R4_GREEN_FLAGSHIP]}
+
+# appended AFTER the window reorder on purpose: a NEW twinned row must not
+# displace the deliberately rotated first-50 driver window (r04 ∪ r05
+# union coverage) — it rides past-window, hash-checked by
+# tools/check_queries and pinned by tests/test_jsonl.py.
+QUERIES["jsonl_documents"] = jsonl_documents
+ORACLE_SQL["jsonl_documents"] = """
+    SELECT doc_id, lang, source, length(text) AS n_chars_rt
+    FROM documents
+"""

@@ -1,0 +1,128 @@
+"""JSONL / NDJSON source — the interchange format of web-text corpora
+(Common Crawl derivatives, open LLM-pretraining dumps ship as
+``*.jsonl[.gz]`` shards, one JSON object per line).
+
+Shape mirrors the repo's other sources (``mysql_dump.py``, ``warc.py``):
+distributed per-line read (Ray's ``read_text`` splits files across
+tasks), a vectorized fast parse path with a bail-to-careful-path rule,
+and the reference's per-record error policy — a malformed line is
+QUARANTINED as a row with ``ok = false`` and every requested column
+null, never a crash and never a silent drop
+(GrameneMongoLoader.groovy:35-38 log-and-skip, upgraded to a queryable
+quarantine column exactly like stages/extract.py does for html).
+
+Scale notes: embarrassingly parallel over files/blocks; the fast path is
+pyarrow's C JSON parser over each batch of lines re-joined into one
+buffer (one allocation, no per-row Python until the parser rejects the
+batch); only a batch containing a malformed line falls back to per-line
+``json.loads``. Schema is normalized batch-side (missing keys → null,
+extra keys dropped, values cast), so downstream blocks are uniform no
+matter how heterogeneous the shards are.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pyarrow as pa
+
+__all__ = ["read_jsonl", "JSONL_QUARANTINE_COL"]
+
+JSONL_QUARANTINE_COL = "ok"
+
+
+def _normalize(tbl: pa.Table, schema: pa.Schema, n: int) -> pa.Table:
+    """Project ``tbl`` onto ``schema`` + ok=true: missing columns become
+    nulls, extra columns are dropped, present columns are cast."""
+    cols: dict[str, pa.Array] = {}
+    for field in schema:
+        if field.name in tbl.column_names:
+            cols[field.name] = tbl[field.name].cast(field.type)
+        else:
+            cols[field.name] = pa.nulls(n, field.type)
+    cols[JSONL_QUARANTINE_COL] = pa.array([True] * n, pa.bool_())
+    return pa.table(cols)
+
+
+def _parse_lines_batch(lines: list[str], schema: pa.Schema) -> pa.Table:
+    """One batch of raw lines -> normalized table. Fast path: one
+    pyarrow.json parse over the whole batch; bail to per-line loads (with
+    quarantine rows) only when the C parser rejects the batch."""
+    from pyarrow import json as pa_json
+
+    buf = ("\n".join(lines)).encode("utf-8", errors="surrogateescape")
+    try:
+        raw = pa_json.read_json(io.BytesIO(buf))
+        return _normalize(raw, schema, raw.num_rows)
+    except (pa.ArrowInvalid, UnicodeEncodeError):
+        pass
+    # careful path: per-line parse, malformed lines -> quarantine rows
+    rows: list[dict] = []
+    oks: list[bool] = []
+    for ln in lines:
+        try:
+            obj = json.loads(ln)
+            if not isinstance(obj, dict):
+                raise ValueError("not an object")
+            rows.append(obj)
+            oks.append(True)
+        except (ValueError, TypeError):
+            rows.append({})
+            oks.append(False)
+    cols: dict[str, pa.Array] = {}
+    for field in schema:
+        vals = [r.get(field.name) if ok else None
+                for r, ok in zip(rows, oks)]
+        cols[field.name] = _coerce(vals, field.type)
+    cols[JSONL_QUARANTINE_COL] = pa.array(oks, pa.bool_())
+    return pa.table(cols)
+
+
+def _coerce(vals: list, typ: pa.DataType) -> pa.Array:
+    """Values -> typed array; a value the type rejects becomes null (the
+    per-record policy extends to per-FIELD: one shard's string doc_id must
+    not crash the read)."""
+    if not any(v is not None for v in vals):
+        return pa.nulls(len(vals), typ)
+    try:
+        return pa.array(vals).cast(typ)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        out = []
+        for v in vals:
+            try:
+                out.append(pa.array([v]).cast(typ)[0].as_py())
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                out.append(None)
+        return pa.array(out, typ)
+
+
+def read_jsonl(paths, schema: pa.Schema, *, gz: bool | str = "auto",
+               override_num_blocks: int | None = None):
+    """Distributed JSONL read -> Dataset with columns ``schema`` + ``ok``.
+
+    ``schema`` is REQUIRED (a source of record for a pipeline should not
+    schema-sniff shards that may disagree); ``gz`` follows the file
+    extension when "auto". Small shard sets should pass
+    ``override_num_blocks`` (the usual Ray 2.49 ~200-near-empty-blocks
+    fan-out guard, see BASELINE.md).
+    """
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+    use_gz = (all(p.endswith(".gz") for p in paths) if gz == "auto"
+              else bool(gz))
+    kwargs = {}
+    if use_gz:
+        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    lines = rd.read_text(paths, **kwargs)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        return _parse_lines_batch(batch["text"].to_pylist(), schema)
+
+    return lines.map_batches(parse, batch_format="pyarrow",
+                             batch_size=4096)

@@ -1,0 +1,113 @@
+"""JSONL/NDJSON source (sources/jsonl.py): round-trip fidelity against a
+parquet table, per-record quarantine on malformed lines (the reference's
+log-and-skip policy, GrameneMongoLoader.groovy:35-38 — never crash, never
+silently drop), gz shards, heterogeneous/missing keys, type salvage."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from graphene_loader_ray.sources.jsonl import read_jsonl
+
+DOC_SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_jsonl(tmp_path_factory):
+    """The documents table dumped as two JSONL shards (one gz)."""
+    out = tmp_path_factory.mktemp("jsonl")
+    t = pq.read_table(os.path.join(SF, "documents.parquet"))
+    rows = t.to_pylist()
+    mid = len(rows) // 2
+    p1 = str(out / "part0.jsonl")
+    with open(p1, "w") as fh:
+        for r in rows[:mid]:
+            fh.write(json.dumps(r) + "\n")
+    p2 = str(out / "part1.jsonl.gz")
+    with gzip.open(p2, "wt") as fh:
+        for r in rows[mid:]:
+            fh.write(json.dumps(r) + "\n")
+    return {"plain": p1, "gz": p2, "table": t}
+
+
+def test_roundtrip_matches_parquet(docs_jsonl):
+    ds = read_jsonl(docs_jsonl["plain"], DOC_SCHEMA,
+                    override_num_blocks=2)
+    got = pa.concat_tables(
+        [b for b in ds.iter_batches(batch_size=65536,
+                                    batch_format="pyarrow")])
+    assert got["ok"].to_pylist() == [True] * got.num_rows
+    want = docs_jsonl["table"].slice(0, got.num_rows)
+    got = got.drop_columns(["ok"]).sort_by("doc_id")
+    want = want.select(got.column_names).sort_by("doc_id")
+    assert got.equals(want.cast(got.schema))
+
+
+def test_gz_shard_reads(docs_jsonl):
+    ds = read_jsonl(docs_jsonl["gz"], DOC_SCHEMA, override_num_blocks=1)
+    n_src = docs_jsonl["table"].num_rows - docs_jsonl["table"].num_rows // 2
+    assert ds.count() == n_src
+
+
+def test_malformed_lines_quarantined_not_dropped(tmp_path):
+    p = str(tmp_path / "bad.jsonl")
+    lines = ['{"doc_id": 1, "text": "a"}',
+             '{"doc_id": 2, "text": "b"',      # truncated
+             'not json at all',
+             '42',                              # valid JSON, not an object
+             '{"doc_id": 5, "text": "e"}']
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    ds = read_jsonl(p, schema, override_num_blocks=1)
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=100,
+                                              batch_format="pyarrow")))
+    assert t.num_rows == 5                       # nothing silently dropped
+    by_ok = dict(zip(t["ok"].to_pylist(), range(5)))
+    assert sum(t["ok"].to_pylist()) == 2
+    good = t.filter(t["ok"])
+    assert sorted(good["doc_id"].to_pylist()) == [1, 5]
+    bad = t.filter(pa.compute.invert(t["ok"].combine_chunks()))
+    assert bad["doc_id"].null_count == 3         # quarantine rows all-null
+
+
+def test_missing_and_extra_keys_normalized(tmp_path):
+    p = str(tmp_path / "mixed.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"doc_id": 1, "text": "a", "extra_key": "zzz"}\n')
+        fh.write('{"doc_id": 2}\n')              # missing text
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    ds = read_jsonl(p, schema, override_num_blocks=1)
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=100,
+                                              batch_format="pyarrow")))
+    assert t.column_names == ["doc_id", "text", "ok"]
+    assert t["text"].to_pylist() == ["a", None]
+    assert t["ok"].to_pylist() == [True, True]
+
+
+def test_type_mismatch_salvaged_per_field(tmp_path):
+    """One shard's string doc_id nulls that FIELD, not the row and not
+    the read (per-record policy extended per-field)."""
+    p = str(tmp_path / "typed.jsonl")
+    with open(p, "w") as fh:
+        fh.write('{"doc_id": 1, "text": "a"}\n')
+        fh.write('{"doc_id": "oops", "text": "b"}\n')
+        fh.write('bad line\n')                   # forces the careful path
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    ds = read_jsonl(p, schema, override_num_blocks=1)
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=100,
+                                              batch_format="pyarrow")))
+    assert t.num_rows == 3
+    assert t["text"].to_pylist() == ["a", "b", None]
+    assert t["doc_id"].to_pylist() == [1, None, None]
+    assert t["ok"].to_pylist() == [True, True, False]
