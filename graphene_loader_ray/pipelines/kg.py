@@ -56,6 +56,12 @@ def _warc_paths(fixture_dir: str) -> list[str]:
                   if f.endswith(".warc.gz"))
 
 
+def _jsonl_paths(fixture_dir: str) -> list[str]:
+    d = os.path.join(fixture_dir, "jsonl")
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith((".jsonl", ".jsonl.gz")))
+
+
 def run_kb_stage(fixture_dir: str, outdir: str, resume: bool = True) -> dict:
     """Build + canonicalize the KB; publish artifacts under <outdir>/kb."""
     man = StageManifest(outdir, "kb")
@@ -138,9 +144,13 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
     ``pages_format="warc"`` ingests the crawl wire format directly
     (``<fixture>/warc/*.warc.gz`` via ``sources/warc.py``) instead of the
     parquet twins — identical graph output (pinned by
-    ``test_kg_from_warc_equals_parquet``)."""
+    ``test_kg_from_warc_equals_parquet``). ``pages_format="jsonl"`` does
+    the same for the web-text interchange format
+    (``<fixture>/jsonl/*.jsonl.gz`` via ``sources/jsonl.py``, html
+    base64; pinned by ``test_kg_from_jsonl_equals_parquet``)."""
     man = StageManifest(outdir, "triples")
-    paths_of = _warc_paths if pages_format == "warc" else _page_paths
+    paths_of = {"warc": _warc_paths,
+                "jsonl": _jsonl_paths}.get(pages_format, _page_paths)
     files = paths_of(fixture_dir) * repeat
     groups = [files[i::n_partitions] for i in range(n_partitions)]
     groups = [g for g in groups if g]
@@ -174,6 +184,20 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
             # paths for benchmark amplification)
             n_pages = sum(len(index_warc(p)) * m
                           for p, m in Counter(group).items())
+        elif pages_format == "jsonl":
+            from ..sources.jsonl import read_jsonl_pages
+
+            # malformed lines keep flowing as html=null rows → the link
+            # stage quarantines them (counter parity with parquet/warc)
+            pages = read_jsonl_pages(group).map_batches(
+                lambda t: t.select(["html"]), batch_format="pyarrow")
+            # line count via a parse-free text pass (the JSONL analog of
+            # warc's decompress-and-discard member walk); pages.count()
+            # would re-run the full parse+decode chain
+            _gz = all(p.endswith(".gz") for p in set(group))
+            n_pages = rd.read_text(
+                group, **({"arrow_open_stream_args":
+                           {"compression": "gzip"}} if _gz else {})).count()
         else:
             pages = rd.read_parquet(group, columns=["html"])
             n_pages = None

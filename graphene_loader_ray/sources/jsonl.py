@@ -126,3 +126,72 @@ def read_jsonl(paths, schema: pa.Schema, *, gz: bool | str = "auto",
 
     return lines.map_batches(parse, batch_format="pyarrow",
                              batch_size=4096)
+
+
+def write_jsonl_pages(table: pa.Table, path: str) -> None:
+    """Deterministic JSONL dump of a pages shard (url, warc_ts, html) —
+    the fixture-writer twin of ``warc.write_warc``. ``html`` bytes are
+    base64-encoded (JSON carries no raw bytes; base64 is what web-text
+    JSONL dumps with binary payloads use), ``warc_ts`` rides as epoch
+    MICROSECONDS (integer — exact round-trip, no ISO parse ambiguity).
+    Gzipped when ``path`` ends in ``.gz``. Byte-identical across calls:
+    sorted keys, no whitespace variance."""
+    import base64
+    import datetime as _dt
+    import gzip as _gzip
+
+    epoch = _dt.datetime(1970, 1, 1)
+
+    def _us(ts) -> int:
+        # exact integer math on the timedelta — datetime.timestamp() on a
+        # naive value assumes LOCAL time and floats lose sub-us precision
+        td = ts - epoch
+        return (td.days * 86_400_000_000 + td.seconds * 1_000_000
+                + td.microseconds)
+
+    def _gz_open(p):
+        # GzipFile via fileobj with mtime=0 (gzip.open has no mtime arg,
+        # and a filename arg embeds the basename in the FNAME header):
+        # byte-deterministic shards, same reason warc.write_warc pins it
+        return io.TextIOWrapper(
+            _gzip.GzipFile(filename="", fileobj=open(p, "wb"), mode="wb",
+                           compresslevel=6, mtime=0),
+            encoding="utf-8")
+
+    opener = _gz_open if path.endswith(".gz") else (
+        lambda p: open(p, "w", encoding="utf-8"))
+    rows = table.to_pylist()
+    with opener(path) as fh:
+        for r in rows:
+            ts = r.get("warc_ts")
+            if ts is not None and not isinstance(ts, int):
+                ts = _us(ts)
+            obj = {"url": r.get("url"), "warc_ts_us": ts,
+                   "html_b64": (base64.b64encode(r["html"]).decode("ascii")
+                                if r.get("html") is not None else None)}
+            fh.write(json.dumps(obj, sort_keys=True,
+                                separators=(",", ":")) + "\n")
+
+
+def read_jsonl_pages(paths, override_num_blocks: int | None = None):
+    """Read a ``write_jsonl_pages`` dump back to (url, warc_ts, html, ok)
+    — the KG pipeline's ``pages_format="jsonl"`` entry point. Malformed
+    lines surface as ok=false rows with html null, which the link stage
+    quarantines exactly like the parquet/WARC paths (counters must not
+    diverge between input formats)."""
+    import base64
+
+    schema = pa.schema([("url", pa.string()), ("warc_ts_us", pa.int64()),
+                        ("html_b64", pa.string())])
+    ds = read_jsonl(paths, schema, override_num_blocks=override_num_blocks)
+
+    def decode(t: pa.Table) -> pa.Table:
+        htmls = [None if v is None else base64.b64decode(v)
+                 for v in t["html_b64"].to_pylist()]
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": t["warc_ts_us"].cast(pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            JSONL_QUARANTINE_COL: t[JSONL_QUARANTINE_COL]})
+
+    return ds.map_batches(decode, batch_format="pyarrow")

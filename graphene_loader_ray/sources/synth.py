@@ -634,7 +634,7 @@ def build_videos(n_videos: int, seed: int = SEED) -> pa.Table:
 
 # ------------------------------------------------------------------ caching
 FIXTURE_ROOT = os.environ.get("GRAFT_FIXTURE_DIR", "/tmp/graphene_fixtures")
-_FIXTURE_VERSION = 8
+_FIXTURE_VERSION = 9
 
 
 def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
@@ -675,14 +675,21 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
     # the crawl's ACTUAL wire format alongside the parquet twins: one
     # .warc.gz shard per pages file (per-record gzip members), so the
     # WARC reader can be equivalence-tested against the parquet
+    from .jsonl import write_jsonl_pages
     from .warc import write_warc
     os.makedirs(os.path.join(tmp, "warc"), exist_ok=True)
+    # ... and a JSONL twin (the web-text interchange format), so the
+    # JSONL reader gets the same equivalence gate
+    os.makedirs(os.path.join(tmp, "jsonl"), exist_ok=True)
     for f in range(n_files):
         shard = pages.slice(f * step, step)
         pq.write_table(shard,
                        os.path.join(tmp, "pages", f"part-{f:05d}.parquet"))
         write_warc(shard.select(["url", "warc_ts", "html"]),
                    os.path.join(tmp, "warc", f"part-{f:05d}.warc.gz"))
+        write_jsonl_pages(shard.select(["url", "warc_ts", "html"]),
+                          os.path.join(tmp, "jsonl",
+                                       f"part-{f:05d}.jsonl.gz"))
     with open(os.path.join(tmp, "_SYNTH_DONE"), "w") as fh:
         fh.write(hashlib.sha256(tag.encode()).hexdigest())
     if os.path.exists(done):          # another process won the race

@@ -111,3 +111,52 @@ def test_type_mismatch_salvaged_per_field(tmp_path):
     assert t["text"].to_pylist() == ["a", "b", None]
     assert t["doc_id"].to_pylist() == [1, None, None]
     assert t["ok"].to_pylist() == [True, True, False]
+
+
+def test_write_jsonl_pages_roundtrip(tmp_path):
+    """The fixture writer's base64/epoch-us encoding round-trips exactly
+    (naive-datetime local-time pitfalls would shift warc_ts)."""
+    from graphene_loader_ray.sources.jsonl import (read_jsonl_pages,
+                                                   write_jsonl_pages)
+    t = pa.table({
+        "url": pa.array(["https://x.example/a"], pa.string()),
+        "warc_ts": pa.array([1_600_000_000_123_456], pa.timestamp("us")),
+        "html": pa.array([b"<html>\xff raw bytes</html>"], pa.binary())})
+    p1, p2 = str(tmp_path / "a.jsonl.gz"), str(tmp_path / "b.jsonl.gz")
+    write_jsonl_pages(t, p1)
+    write_jsonl_pages(t, p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()  # deterministic
+    got = pa.concat_tables(list(read_jsonl_pages(p1).iter_batches(
+        batch_size=10, batch_format="pyarrow")))
+    assert got["ok"].to_pylist() == [True]
+    assert got["url"].to_pylist() == ["https://x.example/a"]
+    assert got["html"].to_pylist() == [b"<html>\xff raw bytes</html>"]
+    assert got["warc_ts"].cast(pa.int64()).to_pylist() == [
+        1_600_000_000_123_456]
+
+
+def test_kg_from_jsonl_equals_parquet(tmp_path):
+    """The flagship KG pipeline ingesting the JSONL interchange format
+    produces identical graph outputs (edges, nodes, counters) to the
+    parquet path over the same corpus — the same gate the WARC source
+    has (test_kg_from_warc_equals_parquet)."""
+    import pandas as pd
+
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+    from graphene_loader_ray.sources.synth import synthesize
+
+    fixture_dir = synthesize(n_pages=400)
+    outs = {}
+    for fmt in ("parquet", "jsonl"):
+        res = run_kg_pipeline(fixture_dir, str(tmp_path / fmt),
+                              n_page_partitions=2, pages_format=fmt)
+        gdir = res["graph_dir"]
+        outs[fmt] = {
+            "counters": res["counters"],
+            "edges": pq.read_table(os.path.join(gdir, "edges")).to_pandas(),
+            "nodes": pq.read_table(os.path.join(gdir, "nodes")).to_pandas(),
+        }
+    assert outs["parquet"]["counters"] == outs["jsonl"]["counters"]
+    for k in ("edges", "nodes"):
+        pd.testing.assert_frame_equal(outs["parquet"][k], outs["jsonl"][k],
+                                      check_exact=True)
