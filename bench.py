@@ -63,7 +63,8 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "kmeans_embeddings", "lm_perplexity",
                "rebalanced_documents", "warc_pages", "dump_graph_nodes",
                "dump_graph_edges", "chunked_documents",
-               "packed_documents", "zscore_events", "tfidf_keywords"]
+               "packed_documents", "zscore_events", "tfidf_keywords",
+               "jsonl_documents"]
 
 
 def _pool(ncpu: int) -> int:

@@ -54,7 +54,13 @@ def _parse_lines_batch(lines: list[str], schema: pa.Schema) -> pa.Table:
     buf = ("\n".join(lines)).encode("utf-8", errors="surrogateescape")
     try:
         raw = pa_json.read_json(io.BytesIO(buf))
-        return _normalize(raw, schema, raw.num_rows)
+        # the C parser silently SKIPS blank lines — that would break the
+        # one-row-per-line quarantine contract, so any count mismatch
+        # bails to the careful path (which quarantines them). read_text
+        # drops empty lines before they reach us, so this is a pure
+        # alignment safety net, not the common path.
+        if raw.num_rows == len(lines):
+            return _normalize(raw, schema, raw.num_rows)
     except (pa.ArrowInvalid, UnicodeEncodeError):
         pass
     # careful path: per-line parse, malformed lines -> quarantine rows

@@ -160,3 +160,62 @@ def test_kg_from_jsonl_equals_parquet(tmp_path):
     for k in ("edges", "nodes"):
         pd.testing.assert_frame_equal(outs["parquet"][k], outs["jsonl"][k],
                                       check_exact=True)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ROW = st.fixed_dictionaries({}, optional={
+    "i": st.integers(min_value=-2**62, max_value=2**62),
+    "s": st.text(max_size=40),
+    "f": st.floats(allow_nan=False, allow_infinity=False, width=64),
+    "b": st.booleans(),
+})
+_SCHEMA = pa.schema([("i", pa.int64()), ("s", pa.string()),
+                     ("f", pa.float64()), ("b", pa.bool_())])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_ROW, min_size=1, max_size=30))
+def test_parse_lines_property_roundtrip(rows):
+    """Any batch of well-formed JSON objects (per-key stable types,
+    arbitrary missing keys, arbitrary unicode) parses with ok=true
+    everywhere and value-exact round-trip — regardless of whether the
+    pyarrow-C fast path or the per-line careful path served it."""
+    from graphene_loader_ray.sources.jsonl import _parse_lines_batch
+
+    lines = [json.dumps(r) for r in rows]
+    t = _parse_lines_batch(lines, _SCHEMA)
+    assert t.num_rows == len(rows)
+    assert t["ok"].to_pylist() == [True] * len(rows)
+    for k in ("i", "s", "f", "b"):
+        assert t[k].to_pylist() == [r.get(k) for r in rows], k
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(
+    st.fixed_dictionaries({"i": st.integers(-10**6, 10**6)}),
+    st.text(max_size=20).filter(
+        lambda s: not s.strip().startswith(("{", "[")))),
+    min_size=1, max_size=20))
+def test_parse_lines_property_quarantine(mixed):
+    """Interleaved garbage lines: row count is always preserved, garbage
+    is ok=false with null fields, objects keep their values."""
+    from graphene_loader_ray.sources.jsonl import _parse_lines_batch
+
+    lines = [json.dumps(m) if isinstance(m, dict) else m for m in mixed]
+    t = _parse_lines_batch(lines, pa.schema([("i", pa.int64())]))
+    assert t.num_rows == len(mixed)
+    for got_ok, got_i, m in zip(t["ok"].to_pylist(), t["i"].to_pylist(),
+                                mixed):
+        if isinstance(m, dict):
+            assert got_ok and got_i == m["i"]
+        else:
+            try:
+                obj = json.loads(m)
+                valid = isinstance(obj, dict)
+            except ValueError:
+                valid = False
+            assert got_ok == valid
+            if not got_ok:
+                assert got_i is None
