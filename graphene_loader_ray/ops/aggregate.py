@@ -192,5 +192,11 @@ def distinct_to_driver(ds: Dataset, col: str) -> "pa.Array":
                                             batch_format="pyarrow")
               if b.num_rows]
     if not chunks:
-        return pa.array([], pa.null())
+        # keep the COLUMN's type on the empty result (schema() is cached
+        # post-execution) so callers can feed it straight to pc.is_in
+        # without a null-type special case
+        sch = partial.schema()
+        typ = (sch.base_schema.field(col).type
+               if sch is not None and col in sch.names else pa.null())
+        return pa.array([], typ)
     return pc.unique(pa.concat_arrays(chunks))

@@ -193,11 +193,11 @@ def run_pages_stage(fixture_dir: str, outdir: str, kb_dir: str,
                 lambda t: t.select(["html"]), batch_format="pyarrow")
             # line count via a parse-free text pass (the JSONL analog of
             # warc's decompress-and-discard member walk); pages.count()
-            # would re-run the full parse+decode chain
-            _gz = all(p.endswith(".gz") for p in set(group))
-            n_pages = rd.read_text(
-                group, **({"arrow_open_stream_args":
-                           {"compression": "gzip"}} if _gz else {})).count()
+            # would re-run the full parse+decode chain. _read_lines
+            # decides compression PER FILE, so mixed .jsonl/.jsonl.gz
+            # groups count (and parse) every shard correctly.
+            from ..sources.jsonl import _read_lines
+            n_pages = _read_lines(group, "auto", None).count()
         else:
             pages = rd.read_parquet(group, columns=["html"])
             n_pages = None

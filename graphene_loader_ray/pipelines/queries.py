@@ -328,9 +328,7 @@ def customers_without_orders(sf_dir: str):
     # consumed by a C is_in kernel — no Python set, no per-row loop
     # (VERDICT r2 "What's wrong" #2). Task map, not an actor pool: the
     # filter holds no built state, so actor startup would be pure latency.
-    keys = distinct_to_driver(high, "o_custkey")
-    keys_ref = ray.put(keys if keys.type != pa.null()
-                       else pa.array([], pa.int64()))
+    keys_ref = ray.put(distinct_to_driver(high, "o_custkey"))
 
     def anti_filter(t: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
@@ -563,24 +561,41 @@ def jsonl_documents(sf_dir: str):
     proves string fidelity through the JSON encode/parse path, not just
     row plumbing. The dump is driver-side and cached per sf_dir —
     fixture preparation, not pipeline work."""
+    import hashlib as _hashlib
     import json as _json
+    import shutil as _shutil
 
     from ..sources.jsonl import read_jsonl
 
     if sf_dir not in _JSONL_DUMP_CACHE:
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text", "lang", "source"])
-        out = f"/tmp/graphene_jsonl/{abs(hash(sf_dir)):x}"
-        os.makedirs(out, exist_ok=True)
-        n = t.num_rows
-        for shard, lo in enumerate(range(0, n, max(1, (n + 3) // 4))):
-            rows = t.slice(lo, max(1, (n + 3) // 4)).to_pylist()
-            with open(os.path.join(out, f"part{shard}.jsonl"), "w") as fh:
-                for r in rows:
-                    fh.write(_json.dumps(r) + "\n")
+        # stable digest (built-in hash() is per-process randomized) and
+        # an atomic tmp-dir → rename publish with a done marker, so
+        # concurrent processes never read a half-written dump — the same
+        # race discipline sources/synth.py uses for fixtures
+        out = ("/tmp/graphene_jsonl/"
+               + _hashlib.md5(sf_dir.encode()).hexdigest()[:16])
+        if not os.path.exists(os.path.join(out, "_DONE")):
+            t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text", "lang", "source"])
+            tmp = f"{out}.tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            n = t.num_rows
+            for shard, lo in enumerate(range(0, n, max(1, (n + 3) // 4))):
+                rows = t.slice(lo, max(1, (n + 3) // 4)).to_pylist()
+                with open(os.path.join(tmp, f"part{shard}.jsonl"),
+                          "w") as fh:
+                    for r in rows:
+                        fh.write(_json.dumps(r) + "\n")
+            with open(os.path.join(tmp, "_DONE"), "w") as fh:
+                fh.write(sf_dir)
+            try:
+                os.rename(tmp, out)
+            except OSError:          # another process won the race
+                _shutil.rmtree(tmp, ignore_errors=True)
         _JSONL_DUMP_CACHE[sf_dir] = out
     root = _JSONL_DUMP_CACHE[sf_dir]
-    paths = [os.path.join(root, f) for f in sorted(os.listdir(root))]
+    paths = [os.path.join(root, f) for f in sorted(os.listdir(root))
+             if f.endswith(".jsonl")]
     schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
                         ("lang", pa.string()), ("source", pa.string())])
     ds = read_jsonl(paths, schema, override_num_blocks=4)
@@ -1780,13 +1795,16 @@ ORACLE_SQL["bloom_new_documents"] = _bloom_sql(
 # dedup_minhash + its groups tail, dedup_embedding, knn lsh/ivf, kmeans,
 # bloom [exact twin — now hash-checked], packing, the two webstats side
 # tables) plus the NEW minhash_signatures twin, padded with SQL-twinned
-# rows. Rotated out to make room: the 10 r4-green flagship rows and the
-# 3 slowest double-green (r03+r04) SQL rows below — so
-# CORRECTNESS_r04 ∪ r05 covers every query name. Every rotated-out row
+# rows. Rotated out to make room: the 10 r4-green flagship rows and 3
+# double-green (r03+r04) UNTOUCHED SQL rows below — deliberately NOT
+# customers_without_orders / shipping_priority, whose round-5 broadcast
+# rewrite must stay driver-checked (the prior green runs validated the
+# OLD equi_join implementations) — so CORRECTNESS_r04 ∪ r05 covers
+# every query name. Every rotated-out row
 # keeps its pytest oracle/parity/property gate and still runs in
 # tools/check_queries + bench.
-_DEFER_SQL = ["customers_without_orders", "supplier_region_stats",
-              "shipping_priority"]
+_DEFER_SQL = ["supplier_region_stats", "mktsegment_order_stats",
+              "part_type_stats"]
 _R4_GREEN_FLAGSHIP = ["kg_triples", "kg_nodes", "kg_mentions", "kg_misses",
                       "curate_web_pages", "dump_graph_nodes",
                       "dump_graph_edges", "ann_recall",

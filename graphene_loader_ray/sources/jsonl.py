@@ -61,7 +61,12 @@ def _parse_lines_batch(lines: list[str], schema: pa.Schema) -> pa.Table:
         # alignment safety net, not the common path.
         if raw.num_rows == len(lines):
             return _normalize(raw, schema, raw.num_rows)
-    except (pa.ArrowInvalid, UnicodeEncodeError):
+    except (pa.ArrowInvalid, pa.ArrowTypeError,
+            pa.ArrowNotImplementedError, UnicodeEncodeError):
+        # ArrowNotImplementedError covers schema-violating but
+        # well-formed JSON (e.g. a list where the schema wants int64):
+        # the cast inside _normalize must bail to the careful path's
+        # per-field salvage, not crash the read task
         pass
     # careful path: per-line parse, malformed lines -> quarantine rows
     rows: list[dict] = []
@@ -114,24 +119,43 @@ def read_jsonl(paths, schema: pa.Schema, *, gz: bool | str = "auto",
     ``override_num_blocks`` (the usual Ray 2.49 ~200-near-empty-blocks
     fan-out guard, see BASELINE.md).
     """
-    import ray.data as rd
-
     if isinstance(paths, str):
         paths = [paths]
-    use_gz = (all(p.endswith(".gz") for p in paths) if gz == "auto"
-              else bool(gz))
-    kwargs = {}
-    if use_gz:
-        kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
-    if override_num_blocks is not None:
-        kwargs["override_num_blocks"] = override_num_blocks
-    lines = rd.read_text(paths, **kwargs)
+    lines = _read_lines(paths, gz, override_num_blocks)
 
     def parse(batch: pa.Table) -> pa.Table:
         return _parse_lines_batch(batch["text"].to_pylist(), schema)
 
     return lines.map_batches(parse, batch_format="pyarrow",
                              batch_size=4096)
+
+
+def _read_lines(paths: list[str], gz: bool | str,
+                override_num_blocks: int | None):
+    """Line Dataset over possibly-MIXED plain/gz shards: compression is
+    decided PER FILE under gz="auto" (an all-or-nothing switch would read
+    gz shards as raw bytes and silently quarantine every row in them), so
+    the path list is split and the two reads unioned."""
+    import ray.data as rd
+
+    if gz == "auto":
+        gz_paths = [p for p in paths if p.endswith(".gz")]
+        plain = [p for p in paths if not p.endswith(".gz")]
+    else:
+        gz_paths, plain = (paths, []) if gz else ([], paths)
+    if not paths:
+        raise ValueError("read_jsonl: empty path list")
+    parts = []
+    for group, is_gz in ((plain, False), (gz_paths, True)):
+        if not group:
+            continue
+        kwargs = {}
+        if is_gz:
+            kwargs["arrow_open_stream_args"] = {"compression": "gzip"}
+        if override_num_blocks is not None:
+            kwargs["override_num_blocks"] = override_num_blocks
+        parts.append(rd.read_text(group, **kwargs))
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
 
 
 def write_jsonl_pages(table: pa.Table, path: str) -> None:
@@ -155,19 +179,25 @@ def write_jsonl_pages(table: pa.Table, path: str) -> None:
         return (td.days * 86_400_000_000 + td.seconds * 1_000_000
                 + td.microseconds)
 
-    def _gz_open(p):
-        # GzipFile via fileobj with mtime=0 (gzip.open has no mtime arg,
-        # and a filename arg embeds the basename in the FNAME header):
-        # byte-deterministic shards, same reason warc.write_warc pins it
-        return io.TextIOWrapper(
-            _gzip.GzipFile(filename="", fileobj=open(p, "wb"), mode="wb",
-                           compresslevel=6, mtime=0),
-            encoding="utf-8")
+    import contextlib
 
-    opener = _gz_open if path.endswith(".gz") else (
-        lambda p: open(p, "w", encoding="utf-8"))
     rows = table.to_pylist()
-    with opener(path) as fh:
+    with contextlib.ExitStack() as stack:
+        if path.endswith(".gz"):
+            # GzipFile via fileobj with mtime=0 (gzip.open has no mtime
+            # arg, and a filename arg embeds the basename in the FNAME
+            # header): byte-deterministic shards, same reason
+            # warc.write_warc pins it. The raw file is closed EXPLICITLY
+            # by the stack — GzipFile never closes an external fileobj,
+            # so relying on GC could truncate the trailer.
+            raw = stack.enter_context(open(path, "wb"))
+            gzf = stack.enter_context(
+                _gzip.GzipFile(filename="", fileobj=raw, mode="wb",
+                               compresslevel=6, mtime=0))
+            fh = stack.enter_context(io.TextIOWrapper(gzf,
+                                                      encoding="utf-8"))
+        else:
+            fh = stack.enter_context(open(path, "w", encoding="utf-8"))
         for r in rows:
             ts = r.get("warc_ts")
             if ts is not None and not isinstance(ts, int):

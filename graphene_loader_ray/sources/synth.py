@@ -645,8 +645,13 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
     sharding (SURVEY.md §4 — files/row-groups → blocks).
     """
     # bump _FIXTURE_VERSION whenever this module's generation logic changes
-    # so stale /tmp caches self-invalidate (CLAUDE.md fixture-cache note)
-    tag = f"p{n_pages}_g{n_genes}_s{seed}_v{_FIXTURE_VERSION}"
+    # so stale /tmp caches self-invalidate (CLAUDE.md fixture-cache note).
+    # The EFFECTIVE page-file count is part of the tag: sharding changes
+    # input striping, so a cache hit across different n_page_files
+    # requests would silently benchmark the wrong file layout.
+    n_files_eff = max(1, min(n_page_files, n_pages // 50 or 1))
+    tag = (f"p{n_pages}_g{n_genes}_s{seed}_f{n_files_eff}"
+           f"_v{_FIXTURE_VERSION}")
     outdir = os.path.join(root, tag)
     done = os.path.join(outdir, "_SYNTH_DONE")
     if os.path.exists(done):
@@ -670,7 +675,7 @@ def synthesize(n_pages: int, seed: int = SEED, n_genes: int = 64,
                       "vocab_edges": vocab.tables["vocab_edges"]},
                      os.path.join(tmp, "reactome_dump.sql"))
     pages = build_pages(vocab, n_pages, seed=seed)
-    n_files = max(1, min(n_page_files, n_pages // 50 or 1))
+    n_files = n_files_eff    # single source of truth with the cache tag
     step = (pages.num_rows + n_files - 1) // n_files
     # the crawl's ACTUAL wire format alongside the parquet twins: one
     # .warc.gz shard per pages file (per-record gzip members), so the

@@ -117,10 +117,16 @@ class ImageDecoder:
         self.payload_col, self.id_col = payload_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.decode_rows(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist())
+
+    def decode_rows(self, uids: list, payloads: list) -> pa.Table:
+        # row-level entry point so ImageFeatures can materialize the
+        # (block-memory-dominating) payload column ONCE per batch and
+        # share the list with the feature pass
         rows = {"url": [], "format": [], "payload_sha256": [], "n_bytes": [],
                 "width": [], "height": [], "ok": []}
-        for uid, payload in zip(batch[self.id_col].to_pylist(),
-                                batch[self.payload_col].to_pylist()):
+        for uid, payload in zip(uids, payloads):
             rows["url"].append(uid)
             if not payload:
                 rows["format"].append(None)
@@ -159,7 +165,15 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
     (gray, RGB, palette via PLTE lookup, gray+alpha, RGBA). Returns None
     for anything else or any structural breakage — the caller falls back
     to byte-distribution features, it never crashes (the reference's
-    log-and-skip policy, GrameneMongoLoader.groovy:295-305)."""
+    log-and-skip policy, GrameneMongoLoader.groovy:295-305).
+
+    Scale note: None/Sub/Up rows unfilter vectorized; Average/Paeth rows
+    are an inherently sequential-in-x recurrence and run a per-sample
+    Python loop — fine for the thumbnail-scale fixtures this stage
+    models, but a megapixel corpus of libpng-adaptive images (mostly
+    Paeth rows) wants a compiled codec; swap this decoder behind the
+    same ImageFeatures interface, the quarantine/feature contract does
+    not change."""
     import zlib
 
     n = len(payload)
@@ -189,13 +203,21 @@ def decode_png_pixels(payload: bytes) -> "np.ndarray | None":
     if channels is None or depth != 8 or comp or filt or inter \
             or not w or not h:
         return None
+    stride = w * channels
+    expect = h * (stride + 1)
+    if expect > 64 * 1024 * 1024:   # corrupt/hostile IHDR dims: quarantine
+        return None
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # BOUNDED inflate: a crafted deflate bomb with huge IHDR dims
+        # must quarantine (return None), not OOM the actor — so cap the
+        # decompression at the size the header promises (+1 to detect
+        # overlong streams) instead of inflating first and checking after
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expect + 1)
     except zlib.error:
         return None
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        return None
+    if len(raw) != expect or dec.decompress(dec.unconsumed_tail, 1):
+        return None           # short, overlong, or continuing stream
     arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
     data = arr[:, 1:].astype(np.int64)
@@ -311,11 +333,13 @@ class ImageFeatures:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        meta = self.decoder(batch)
+        payloads = batch[self.payload_col].to_pylist()   # ONCE per batch
+        meta = self.decoder.decode_rows(
+            batch[self.decoder.id_col].to_pylist(), payloads)
         kinds: list[str | None] = []
         feats: list[list[float]] = []
         hists: list[list[float]] = []
-        for payload, ok, w, h in zip(batch[self.payload_col].to_pylist(),
+        for payload, ok, w, h in zip(payloads,
                                      meta["ok"].to_pylist(),
                                      meta["width"].to_pylist(),
                                      meta["height"].to_pylist()):
@@ -472,13 +496,14 @@ class AudioFeatures:
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        meta = self.decoder(batch)
+        payloads = batch[self.payload_col].to_pylist()   # ONCE per batch
+        meta = self.decoder.decode_rows(
+            batch[self.decoder.id_col].to_pylist(), payloads)
         cols: dict[str, list[float]] = {
             "rms": [], "zero_cross_rate": [], "spectral_centroid_hz": [],
             "spectral_bandwidth_hz": [], "peak": []}
         names = list(cols)
-        for payload, ok in zip(batch[self.payload_col].to_pylist(),
-                               meta["ok"].to_pylist()):
+        for payload, ok in zip(payloads, meta["ok"].to_pylist()):
             parsed = parse_wav_samples(payload) if ok else None
             vals = audio_feature_values(*parsed) if parsed is not None \
                 else [0.0] * 5
@@ -499,9 +524,14 @@ class AudioDecoder:
         self.payload_col, self.id_col = payload_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.decode_rows(batch[self.id_col].to_pylist(),
+                                batch[self.payload_col].to_pylist())
+
+    def decode_rows(self, uids: list, payloads: list) -> pa.Table:
+        # row-level entry point shared with AudioFeatures (payload column
+        # materialized once per batch, see ImageDecoder.decode_rows)
         rows: dict[str, list] = {f.name: [] for f in AUDIO_SCHEMA}
-        for uid, payload in zip(batch[self.id_col].to_pylist(),
-                                batch[self.payload_col].to_pylist()):
+        for uid, payload in zip(uids, payloads):
             rows["url"].append(uid)
             payload = payload or b""
             rows["payload_sha256"].append(

@@ -219,3 +219,32 @@ def test_parse_lines_property_quarantine(mixed):
             assert got_ok == valid
             if not got_ok:
                 assert got_i is None
+
+
+def test_mixed_plain_and_gz_shards(docs_jsonl):
+    """gz decision is PER FILE: one plain + one gz shard in a single read
+    must surface every row (an all-or-nothing switch would read the gz
+    shard as raw bytes and quarantine it wholesale)."""
+    ds = read_jsonl([docs_jsonl["plain"], docs_jsonl["gz"]], DOC_SCHEMA,
+                    override_num_blocks=1)
+    t = pa.concat_tables(list(ds.iter_batches(batch_size=65536,
+                                              batch_format="pyarrow")))
+    assert t.num_rows == docs_jsonl["table"].num_rows
+    assert t["ok"].to_pylist() == [True] * t.num_rows
+    assert (sorted(t["doc_id"].to_pylist())
+            == sorted(docs_jsonl["table"]["doc_id"].to_pylist()))
+
+
+def test_schema_violating_json_salvaged_not_crashed():
+    """Well-formed JSON whose field type contradicts the schema (a list
+    where int64 is requested) must take the per-field salvage path, not
+    crash the read task with ArrowNotImplementedError."""
+    from graphene_loader_ray.sources.jsonl import _parse_lines_batch
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    t = _parse_lines_batch(['{"doc_id": [1,2], "text": "x"}',
+                            '{"doc_id": 3, "text": "y"}'], schema)
+    assert t.num_rows == 2
+    assert t["ok"].to_pylist() == [True, True]   # lines ARE valid JSON
+    assert t["doc_id"].to_pylist() == [None, 3]  # field salvaged to null
+    assert t["text"].to_pylist() == ["x", "y"]
