@@ -172,6 +172,28 @@ def test_distinct_values(ray_session):
     assert got == ["Gene", "Pathway", "Taxon"]
 
 
+def test_distinct_to_driver(ray_session):
+    """Shuffle-free distinct collection for broadcast key sets: values
+    exact, Arrow-typed, and an EMPTY result keeps the column's type so
+    pc.is_in needs no null-type special case."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphene_loader_ray.ops.aggregate import distinct_to_driver
+
+    ds = rd.from_items([{"k": v} for v in [3, 1, 3, 2, 1, 3]])
+    got = distinct_to_driver(ds, "k")
+    assert sorted(got.to_pylist()) == [1, 2, 3]
+    assert got.type == pa.int64()
+
+    empty = ds.filter(lambda r: r["k"] > 99)
+    e = distinct_to_driver(empty, "k")
+    assert len(e) == 0
+    # the whole point: directly consumable by an is_in mask
+    mask = pc.is_in(pa.array([1, 2], pa.int64()), value_set=e)
+    assert mask.to_pylist() == [False, False]
+
+
 def test_minhash_truncation_reported(ray_session):
     """A degenerate bucket (identical docs beyond max_bucket) is truncated
     AND reported in the stats dict — never silent (ADVICE r1)."""
