@@ -1785,6 +1785,17 @@ ORACLE_SQL["bloom_new_documents"] = _bloom_sql(
     ["doc_id", "text", "lang"])
 
 
+# jsonl_documents registers BEFORE the reorder so the NEW twinned row is
+# driver-checked in its first round (the window rule: new/rewritten rows
+# must not ride past-window on prior greens they never had); an extra
+# untouched double-green row defers to make room.
+QUERIES["jsonl_documents"] = jsonl_documents
+ORACLE_SQL["jsonl_documents"] = """
+    SELECT doc_id, lang, source, length(text) AS n_chars_rt
+    FROM documents
+"""
+
+
 # --------------------------------------------------------------- ordering
 # The driver's correctness harness checks the first ~50 queries() entries
 # (CORRECTNESS_r03 dropped exactly the last 9 — VERDICT r3 #4), and the
@@ -1804,7 +1815,7 @@ ORACLE_SQL["bloom_new_documents"] = _bloom_sql(
 # keeps its pytest oracle/parity/property gate and still runs in
 # tools/check_queries + bench.
 _DEFER_SQL = ["supplier_region_stats", "mktsegment_order_stats",
-              "part_type_stats"]
+              "part_type_stats", "distinct_segments"]
 _R4_GREEN_FLAGSHIP = ["kg_triples", "kg_nodes", "kg_mentions", "kg_misses",
                       "curate_web_pages", "dump_graph_nodes",
                       "dump_graph_edges", "ann_recall",
@@ -1822,13 +1833,3 @@ QUERIES = {k: QUERIES[k]
            for k in _HEAD + _DEFER_SQL + _R4_GREEN_FLAGSHIP
            + [k for k in QUERIES if k not in _HEAD
               and k not in _DEFER_SQL and k not in _R4_GREEN_FLAGSHIP]}
-
-# appended AFTER the window reorder on purpose: a NEW twinned row must not
-# displace the deliberately rotated first-50 driver window (r04 ∪ r05
-# union coverage) — it rides past-window, hash-checked by
-# tools/check_queries and pinned by tests/test_jsonl.py.
-QUERIES["jsonl_documents"] = jsonl_documents
-ORACLE_SQL["jsonl_documents"] = """
-    SELECT doc_id, lang, source, length(text) AS n_chars_rt
-    FROM documents
-"""
