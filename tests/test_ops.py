@@ -1162,6 +1162,43 @@ def test_png_pixel_decode_all_filters():
     assert decode_png_pixels(bytes(inter)) is None
 
 
+def test_png_deflate_bomb_quarantined():
+    """A crafted payload whose IHDR promises huge dimensions with a tiny
+    deflate-bomb IDAT must quarantine (None) with BOUNDED memory — the
+    per-record policy means no corrupt/hostile payload may OOM the
+    feature actor. Also: trailing-garbage and short streams reject."""
+    import struct as st
+    import zlib
+
+    from graphene_loader_ray.stages.multimodal import decode_png_pixels
+
+    def chunk(tag, data):
+        return (st.pack(">I", len(data)) + tag + data
+                + st.pack(">I", zlib.crc32(tag + data)))
+
+    # 65535 x 65535 RGBA -> promises ~17 GB of raw scanlines; the bomb
+    # itself is ~1 MB of compressed zeros. Bounded inflate must bail at
+    # the 64 MB dims cap / expected-size cap, never allocate the 17 GB.
+    ihdr = st.pack(">IIBBBBB", 65535, 65535, 8, 6, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (1 << 26), 9)   # 64 MiB zeros -> ~64 KB
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", bomb) + chunk(b"IEND", b""))
+    assert decode_png_pixels(payload) is None
+
+    # stream longer than the header promises (1x1 gray wants 2 bytes)
+    ihdr1 = st.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    overlong = zlib.compress(b"\x00" * 100)
+    p2 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr1)
+          + chunk(b"IDAT", overlong) + chunk(b"IEND", b""))
+    assert decode_png_pixels(p2) is None
+    # exact-size stream still decodes
+    exact = zlib.compress(b"\x00\x07")
+    p3 = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr1)
+          + chunk(b"IDAT", exact) + chunk(b"IEND", b""))
+    px = decode_png_pixels(p3)
+    assert px is not None and px.shape == (1, 1, 1) and px[0, 0, 0] == 7
+
+
 def test_image_features_pinned():
     """Feature values over the synth fixture PNG equal an independent
     numpy reference computed straight from the known generator formula
