@@ -250,7 +250,8 @@ def hash_sample(docs: Dataset, rate_sixteenths: int,
     holdout-split recipe (same doc always lands on the same side,
     independent of partitioning, run, or corpus growth; md5 so a SQL twin
     can reproduce it byte-for-byte)."""
-    assert 0 <= rate_sixteenths <= 16
+    if not 0 <= rate_sixteenths <= 16:   # loud under -O too
+        raise ValueError(f"rate_sixteenths out of range: {rate_sixteenths}")
     bound = f"{rate_sixteenths:x}"
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -385,7 +386,8 @@ def minhash_sql(table: str, text_col: str = "text",
     from .sketch import _mul64_sql
     a, b = _minhash_params(k)
     a = a | np.uint64(1)
-    assert int(a.max()) < 2 ** 31 and int(b.max()) < 2 ** 31
+    if not (int(a.max()) < 2 ** 31 and int(b.max()) < 2 ** 31):
+        raise ValueError("minhash params exceed the 31-bit SQL-twin bound")
     m0 = _mul64_sql("h0", int(_MIX[0]))
     m1 = _mul64_sql("h1", int(_MIX[1]))
     m2 = _mul64_sql("h2", int(_MIX[2]))

@@ -78,7 +78,8 @@ def add_sliding_buckets(ds: Dataset, ts_col: str, window_sec: int,
     tagged with the window's start epoch-second. In-batch vectorized
     expansion — the groupby afterwards is a plain shuffle, so Ray Data
     needs no native window operator (same trick as add_time_bucket)."""
-    assert window_sec % hop_sec == 0, "hop must divide window"
+    if window_sec % hop_sec:                 # loud under -O too
+        raise ValueError("hop must divide window")
     k = window_sec // hop_sec
 
     def expand(batch: pa.Table) -> pa.Table:

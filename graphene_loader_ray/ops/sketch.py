@@ -180,7 +180,8 @@ class CountMinSketch:
     """d×w counter matrix; rows index by d independent derived hashes."""
 
     def __init__(self, width: int = 2048, depth: int = 4):
-        assert depth <= len(_CMS_SEEDS)
+        if depth > len(_CMS_SEEDS):          # loud under -O too
+            raise ValueError(f"depth > {len(_CMS_SEEDS)} unsupported")
         self.width, self.depth = width, depth
         self.counts = np.zeros((depth, width), dtype=np.int64)
 
@@ -196,7 +197,8 @@ class CountMinSketch:
             np.add.at(self.counts[d], idx[d], 1)
 
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
-        assert (self.width, self.depth) == (other.width, other.depth)
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("merging incompatible CountMin sketches")
         self.counts += other.counts
         return self
 
@@ -238,7 +240,8 @@ class BloomFilter:
     sequentially. NO false negatives ever; FP rate ≈ (1-e^(-kn/m))^k."""
 
     def __init__(self, n_bits: int = 1 << 20, k: int = 7):
-        assert n_bits % 64 == 0
+        if n_bits % 64:                      # loud under -O too
+            raise ValueError("n_bits must be a multiple of 64")
         self.n_bits, self.k = n_bits, k
         self.words = np.zeros(n_bits // 64, dtype=np.uint64)
 
@@ -277,7 +280,8 @@ class BloomFilter:
         return bit.all(axis=0)
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
-        assert (self.n_bits, self.k) == (other.n_bits, other.k)
+        if (self.n_bits, self.k) != (other.n_bits, other.k):
+            raise ValueError("merging incompatible Bloom filters")
         self.words |= other.words
         return self
 

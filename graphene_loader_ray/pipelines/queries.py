@@ -1828,7 +1828,8 @@ _R4_UNSEEN_ROWS_ONLY = ["multimodal_video_frames", "warc_pages",
 _HEAD = [k for k in QUERIES
          if k in ORACLE_SQL and k not in _DEFER_SQL] \
     + [k for k in _R4_UNSEEN_ROWS_ONLY if k in QUERIES]
-assert len(_HEAD) <= 50, f"window overflow: {len(_HEAD)}"
+if len(_HEAD) > 50:                          # loud under -O too
+    raise RuntimeError(f"driver window overflow: {len(_HEAD)}")
 QUERIES = {k: QUERIES[k]
            for k in _HEAD + _DEFER_SQL + _R4_GREEN_FLAGSHIP
            + [k for k in QUERIES if k not in _HEAD
