@@ -43,10 +43,20 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             t = extract_text(v.as_py())
             texts.append(t)
             oks.append(t is not None)
+
+    def opt(name: str, typ: pa.DataType):
+        # warc_ts / lang are passthrough metadata the parquet fixtures
+        # carry but crawl wire formats (WARC status lines, JSONL dumps)
+        # may not — absent columns ride as nulls so any (url, html)
+        # source feeds this stage (and curate_pages) directly
+        return (batch.column(name).cast(typ)
+                if name in batch.column_names
+                else pa.nulls(batch.num_rows, typ))
+
     return pa.table({
         "url": batch.column("url"),
-        "warc_ts": batch.column("warc_ts"),
-        "lang": batch.column("lang"),
+        "warc_ts": opt("warc_ts", pa.timestamp("us")),
+        "lang": opt("lang", pa.string()),
         "text": pa.array(texts, pa.large_string()),
         "ok": pa.array(oks, pa.bool_()),
     }, schema=EXTRACTED_SCHEMA)

@@ -248,3 +248,40 @@ def test_schema_violating_json_salvaged_not_crashed():
     assert t["ok"].to_pylist() == [True, True]   # lines ARE valid JSON
     assert t["doc_id"].to_pylist() == [None, 3]  # field salvaged to null
     assert t["text"].to_pylist() == ["x", "y"]
+
+
+def test_curate_from_any_source_equal(tmp_path):
+    """curate_pages composes with EVERY page source: parquet, JSONL and
+    WARC reads of the same corpus produce identical curated output
+    (extract fills absent warc_ts/lang metadata with nulls — crawl wire
+    formats don't carry the parquet fixture's extra columns)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphene_loader_ray.pipelines.curate import curate_pages
+    from graphene_loader_ray.sources.jsonl import read_jsonl_pages
+    from graphene_loader_ray.sources.synth import synthesize
+    from graphene_loader_ray.sources.warc import read_warc
+
+    fx = synthesize(n_pages=400)
+
+    def paths(sub, suffix):
+        d = os.path.join(fx, sub)
+        return [os.path.join(d, f) for f in sorted(os.listdir(d))
+                if f.endswith(suffix)]
+
+    sources = {
+        "parquet": rd.read_parquet(paths("pages", ".parquet")),
+        "jsonl": read_jsonl_pages(paths("jsonl", ".jsonl.gz"),
+                                  override_num_blocks=4),
+        "warc": read_warc(paths("warc", ".warc.gz")),
+    }
+    outs = {}
+    for name, pages in sources.items():
+        outs[name] = curate_pages(pages, num_partitions=4).to_pandas() \
+            .sort_values("url").reset_index(drop=True)
+    assert len(outs["parquet"]) > 100
+    pd.testing.assert_frame_equal(outs["parquet"], outs["jsonl"],
+                                  check_exact=True)
+    pd.testing.assert_frame_equal(outs["parquet"], outs["warc"],
+                                  check_exact=True)
