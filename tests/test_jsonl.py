@@ -285,3 +285,38 @@ def test_curate_from_any_source_equal(tmp_path):
                                   check_exact=True)
     pd.testing.assert_frame_equal(outs["parquet"], outs["warc"],
                                   check_exact=True)
+
+
+def test_kg_jsonl_corrupt_line_quarantined(tmp_path):
+    """A corrupted line mid-shard must not lose the rest of the shard or
+    crash the pipeline: the line surfaces as one extra quarantined page
+    (html=null through the link stage), the page count still counts it,
+    and every other page processes — the JSONL analog of
+    test_warc_midfile_corruption_resyncs."""
+    import shutil
+
+    from graphene_loader_ray.pipelines.kg import run_kg_pipeline
+    from graphene_loader_ray.sources.synth import synthesize
+
+    fx = synthesize(n_pages=400)
+    fx2 = str(tmp_path / "fixture")
+    shutil.copytree(fx, fx2)
+    shard_dir = os.path.join(fx2, "jsonl")
+    shard = os.path.join(shard_dir,
+                         sorted(os.listdir(shard_dir))[0])
+    with gzip.open(shard, "rt", encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    lines[3] = lines[3][: len(lines[3]) // 2]      # truncate one record
+    with gzip.open(shard, "wt", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    base = run_kg_pipeline(fx, str(tmp_path / "base"),
+                           n_page_partitions=2, pages_format="jsonl")
+    got = run_kg_pipeline(fx2, str(tmp_path / "corrupt"),
+                          n_page_partitions=2, pages_format="jsonl")
+    assert got["counters"]["pages"] == base["counters"]["pages"]
+    assert (got["counters"]["quarantined_pages"]
+            == base["counters"]["quarantined_pages"] + 1)
+    # graph output still produced over the surviving pages
+    t = pq.read_table(os.path.join(got["graph_dir"], "edges"))
+    assert t.num_rows > 0
