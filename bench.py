@@ -55,7 +55,7 @@ QUERY_NAMES = ["q1_pricing_summary", "mktsegment_order_stats",
                "value_quantiles_by_type", "value_quantiles_sampled",
                "dedup_minhash_groups", "decontaminate_docs",
                "scrub_event_props",
-               "multimodal_features", "multimodal_audio",
+               "multimodal_features", "multimodal_audio", "multimodal_resized",
                "multimodal_video_frames", "domain_stats_pages",
                "stratified_documents", "doc_length_band",
                "bloom_new_documents", "url_dedup_pages",

@@ -1095,6 +1095,35 @@ def multimodal_features(sf_dir: str):
     return extract_features(images)
 
 
+def multimodal_resized(sf_dir: str):
+    """Image resize stage (decode → channel-normalize → box/area resize
+    to a fixed 16×16×3 uint8 tensor) over the synthetic image payloads —
+    the training-data-prep thumbnail path; per-tensor checksum + shape
+    instead of the raw tensor column so the driver row stays compact.
+    Exact-value pytest pins vs the brute-force overlap-integration
+    reference (test_resize_pixels_kernel / test_resize_images_stage)."""
+    from ..sources.synth import synthesize
+    from ..stages.multimodal import resize_images
+
+    fixture = synthesize(n_pages=400)
+    images = rd.read_parquet(os.path.join(fixture, "images.parquet"),
+                             columns=["url", "payload"],
+                             override_num_blocks=2)   # small-read rule
+    out = resize_images(images, out_w=16, out_h=16)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        flat = t["pixels"].combine_chunks()
+        vals = flat.values.to_numpy(zero_copy_only=False) \
+            .reshape(t.num_rows, -1).astype(np.int64)
+        return pa.table({
+            "url": t["url"], "format": t["format"], "ok": t["ok"],
+            "width": t["width"], "height": t["height"],
+            "pixel_sum": pa.array(vals.sum(axis=1), pa.int64()),
+            "pixel_max": pa.array(vals.max(axis=1), pa.int64())})
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def domain_stats_pages(sf_dir: str):
     """Per-host stats over the synthetic web-page corpus (n_pages,
     distinct langs, payload bytes) — the host-level grouping for
@@ -1280,6 +1309,7 @@ QUERIES = {
     "kg_mentions": kg_mentions,
     "kg_misses": kg_misses,
     "multimodal_features": multimodal_features,
+    "multimodal_resized": multimodal_resized,
     "domain_stats_pages": domain_stats_pages,
     "url_dedup_pages": url_dedup_pages,
     "curate_web_pages": curate_web_pages,

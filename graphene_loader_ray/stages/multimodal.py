@@ -317,6 +317,127 @@ FEATURED_SCHEMA = pa.schema(list(DECODED_SCHEMA)
                                 pa.list_(pa.float64(), HIST_BINS))])
 
 
+def _area_weights(n_in: int, n_out: int) -> "np.ndarray":
+    """(n_out, n_in) interval-overlap weight matrix for box/area resize:
+    output pixel i covers source span [i·s, (i+1)·s), s = n_in/n_out;
+    weight of input pixel j is its overlap with that span, rows sum to 1.
+    Python loop runs over OUTPUT pixels only (target dims, e.g. 64) and
+    the result is cached per (n_in, n_out) in the actor."""
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float64)
+    for i in range(n_out):
+        lo, hi = i * scale, (i + 1) * scale
+        j0, j1 = int(np.floor(lo)), min(int(np.ceil(hi)), n_in)
+        for j in range(j0, j1):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    return w / scale
+
+
+def resize_pixels(px: "np.ndarray", out_h: int, out_w: int,
+                  method: str = "area",
+                  wcache: dict | None = None) -> "np.ndarray":
+    """REAL deterministic resize of an (h, w, c) uint8 array, pure numpy.
+
+    ``nearest``: pixel-center mapping src = floor((dst+0.5)·in/out) —
+    exact index sampling, no arithmetic on values. ``area``: box filter
+    via two overlap-weight matmuls (the standard downsampling choice for
+    training-data prep; antialiases instead of aliasing like nearest),
+    rounded half-up to uint8. Both are vectorized — the only Python loop
+    builds the (cached) weight matrix over target-dim entries."""
+    h, w, _c = px.shape
+    if method == "nearest":
+        ri = np.minimum(((2 * np.arange(out_h) + 1) * h) // (2 * out_h),
+                        h - 1).astype(np.int64)
+        ci = np.minimum(((2 * np.arange(out_w) + 1) * w) // (2 * out_w),
+                        w - 1).astype(np.int64)
+        return px[ri][:, ci]
+    if method != "area":
+        raise ValueError(f"unknown resize method: {method}")
+    key_h, key_w = (h, out_h), (w, out_w)
+    if wcache is not None:
+        wh = wcache.get(key_h)
+        ww = wcache.get(key_w)
+    else:
+        wh = ww = None
+    if wh is None:
+        wh = _area_weights(h, out_h)
+        if wcache is not None:
+            wcache[key_h] = wh
+    if ww is None:
+        ww = _area_weights(w, out_w)
+        if wcache is not None:
+            wcache[key_w] = ww
+    tmp = np.tensordot(wh, px.astype(np.float64), axes=(1, 0))  # (oh,w,c)
+    out = np.tensordot(tmp, ww, axes=(1, 1))                    # (oh,c,ow)
+    out = np.transpose(out, (0, 2, 1))                          # (oh,ow,c)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+
+def to_rgb(px: "np.ndarray") -> "np.ndarray":
+    """Channel-normalize decoded pixels to (h, w, 3): gray replicates,
+    gray+alpha takes the luma channel, RGBA drops alpha (deterministic —
+    no background compositing choice to get wrong)."""
+    c = px.shape[2]
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    if c == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if c == 4:
+        return px[:, :, :3]
+    return px
+
+
+class ImageResize:
+    """Actor: raw image payload → fixed-size RGB thumbnail tensor (the
+    training-data-prep resize stage the instruction set lists alongside
+    decode / feature-extract / frame-sample). PNGs decode to real pixels
+    and box-resize to (out_h, out_w, 3) uint8; JPEG/GIF payloads (no
+    entropy codec in this container) and broken payloads quarantine with
+    ok=False and a zero tensor — same policy as ImageFeatures. Weight
+    matrices cache per source dimension ONCE PER ACTOR (__init__ holds
+    the dict), so a corpus of repeated sizes pays the small Python loop
+    only once per distinct (in, out) pair."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32,
+                 method: str = "area", payload_col: str = "payload",
+                 id_col: str = "url") -> None:
+        self.out_w, self.out_h, self.method = out_w, out_h, method
+        self.decoder = ImageDecoder(payload_col, id_col)
+        self.payload_col = payload_col
+        self.wcache: dict = {}
+        self.schema = pa.schema(
+            list(DECODED_SCHEMA)
+            + [("out_w", pa.int32()), ("out_h", pa.int32()),
+               ("pixels", pa.list_(pa.uint8(), out_h * out_w * 3))])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()   # ONCE per batch
+        meta = self.decoder.decode_rows(
+            batch[self.decoder.id_col].to_pylist(), payloads)
+        n_px = self.out_h * self.out_w * 3
+        zeros = [0] * n_px
+        oks: list[bool] = []
+        tensors: list[list[int]] = []
+        for payload, ok in zip(payloads, meta["ok"].to_pylist()):
+            px = decode_png_pixels(payload) if ok else None
+            if px is None:
+                oks.append(False)
+                tensors.append(zeros)
+                continue
+            rgb = to_rgb(px)
+            out = resize_pixels(rgb, self.out_h, self.out_w,
+                                method=self.method, wcache=self.wcache)
+            oks.append(True)
+            tensors.append(out.reshape(-1).tolist())
+        n = meta.num_rows
+        cols = {f.name: meta[f.name] for f in DECODED_SCHEMA}
+        cols["ok"] = pa.array(oks, pa.bool_())   # decode-ok AND pixels-ok
+        cols["out_w"] = pa.array([self.out_w] * n, pa.int32())
+        cols["out_h"] = pa.array([self.out_h] * n, pa.int32())
+        cols["pixels"] = pa.array(tensors, pa.list_(pa.uint8(), n_px))
+        return pa.table(cols, schema=self.schema)
+
+
 class ImageFeatures:
     """Actor: raw image payload → decode metadata + REAL deterministic
     content features (replaces the r4 FeatureStub). PNGs decode to
@@ -695,3 +816,19 @@ def audio_features(clips: Dataset, payload_col: str = "payload",
                              fn_constructor_args=(payload_col, id_col),
                              batch_format="pyarrow", batch_size=batch_size,
                              concurrency=concurrency)
+
+
+def resize_images(images: Dataset, out_w: int = 32, out_h: int = 32,
+                  method: str = "area", payload_col: str = "payload",
+                  id_col: str = "url", batch_size: int = 256,
+                  concurrency=(1, 8)) -> Dataset:
+    """Raw (url, payload) images → fixed-size RGB uint8 thumbnail
+    tensors in one actor stage (decode + channel-normalize + box/area
+    resize; quarantine stays a row). Small batch: payload bytes dominate
+    block memory; the OUTPUT tensor is fixed-size-list so downstream
+    training prep gets a uniform schema."""
+    return images.map_batches(ImageResize,
+                              fn_constructor_args=(out_w, out_h, method,
+                                                   payload_col, id_col),
+                              batch_format="pyarrow", batch_size=batch_size,
+                              concurrency=concurrency)

@@ -2244,3 +2244,93 @@ def test_tfidf_keywords_rules(ray_session):
         assert f"rare{did}" in terms
         top = g.sort_values("score", ascending=False).iloc[0]
         assert top["term"] == f"rare{did}" and top["tf"] == 2
+
+
+def test_resize_pixels_kernel():
+    """Area resize equals a brute-force overlap-integration reference;
+    nearest equals pixel-center index sampling; identity resize is exact;
+    channel normalization covers every decoded layout."""
+    from graphene_loader_ray.stages.multimodal import (resize_pixels,
+                                                       to_rgb)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+
+    def brute_area(img, oh, ow):
+        h, w, c = img.shape
+        sh, sw = h / oh, w / ow
+        out = np.zeros((oh, ow, c))
+        for i in range(oh):
+            for j in range(ow):
+                acc = np.zeros(c)
+                for y in range(h):
+                    oy = min((i + 1) * sh, y + 1) - max(i * sh, y)
+                    if oy <= 0:
+                        continue
+                    for x in range(w):
+                        ox = min((j + 1) * sw, x + 1) - max(j * sw, x)
+                        if ox > 0:
+                            acc += img[y, x] * oy * ox
+                out[i, j] = acc / (sh * sw)
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+
+    for oh, ow in ((4, 4), (3, 7), (9, 13), (2, 1)):
+        got = resize_pixels(px, oh, ow, method="area")
+        assert np.array_equal(got, brute_area(px, oh, ow)), (oh, ow)
+
+    # identity area resize reproduces the input exactly (weights = I)
+    assert np.array_equal(resize_pixels(px, 9, 13, method="area"), px)
+
+    # nearest: center-sample formula, independently computed
+    got = resize_pixels(px, 3, 4, method="nearest")
+    for i in range(3):
+        for j in range(4):
+            y, x = ((2 * i + 1) * 9) // 6, ((2 * j + 1) * 13) // 8
+            assert (got[i, j] == px[min(y, 8), min(x, 12)]).all()
+
+    # channel normalization
+    g = rng.integers(0, 256, (4, 5, 1), dtype=np.uint8)
+    assert to_rgb(g).shape == (4, 5, 3)
+    assert np.array_equal(to_rgb(g)[:, :, 0], g[:, :, 0])
+    ga = rng.integers(0, 256, (4, 5, 2), dtype=np.uint8)
+    assert np.array_equal(to_rgb(ga)[:, :, 2], ga[:, :, 0])
+    rgba = rng.integers(0, 256, (4, 5, 4), dtype=np.uint8)
+    assert np.array_equal(to_rgb(rgba), rgba[:, :, :3])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        resize_pixels(px, 4, 4, method="bilinear")
+
+
+def test_resize_images_stage(ray_session):
+    """The resize actor stage over the synth image fixture: every PNG row
+    yields a (32*32*3) uint8 tensor whose values equal resizing the
+    independently decoded pixels; JPEG/GIF/broken rows quarantine with
+    the zero tensor; output schema is fixed-size so training prep gets a
+    uniform layout."""
+    import ray.data as rd
+
+    from graphene_loader_ray.sources.synth import synthesize
+    from graphene_loader_ray.stages.multimodal import (decode_png_pixels,
+                                                       resize_images,
+                                                       resize_pixels,
+                                                       to_rgb)
+
+    fx = synthesize(n_pages=400)
+    images = rd.read_parquet(os.path.join(fx, "images.parquet"))
+    out = resize_images(images, out_w=32, out_h=32).to_pandas() \
+        .set_index("url")
+    src = pq.read_table(os.path.join(fx, "images.parquet")).to_pylist()
+    n_png = 0
+    for row in src:
+        got = out.loc[row["url"]]
+        px = decode_png_pixels(row["payload"] or b"")
+        if px is None:
+            assert not got["ok"]
+            assert not any(got["pixels"])
+            continue
+        n_png += 1
+        want = resize_pixels(to_rgb(px), 32, 32).reshape(-1)
+        assert got["ok"]
+        assert np.array_equal(np.asarray(got["pixels"], np.uint8), want)
+    assert n_png >= 10          # the fixture really exercises the path
