@@ -345,6 +345,8 @@ def resize_pixels(px: "np.ndarray", out_h: int, out_w: int,
     rounded half-up to uint8. Both are vectorized — the only Python loop
     builds the (cached) weight matrix over target-dim entries."""
     h, w, _c = px.shape
+    if out_h < 1 or out_w < 1:
+        raise ValueError(f"target dims must be >=1, got {out_h}x{out_w}")
     if method == "nearest":
         ri = np.minimum(((2 * np.arange(out_h) + 1) * h) // (2 * out_h),
                         h - 1).astype(np.int64)
